@@ -1,0 +1,110 @@
+"""Recipe -> JAX function compiler.
+
+The reference builds a recipe into a tree of `Arc<dyn Fft<T>>` trait objects
+with virtual dispatch at every level (plan.rs:326-410); here a recipe lowers
+into one nested pure function that XLA traces and compiles as a single
+program, so every stage boundary is fused by the compiler instead of crossed
+by virtual dispatch.  All constant tables (DFT matrices, twiddles,
+permutation indices, Rader/Bluestein spectra) are precomputed host-side in
+f64 at build time — the analogue of the reference constructors' twiddle
+precomputation (plan.rs:338-410) — and become XLA constants.
+
+Built functions are memoized per (recipe, direction, dtype): the functional
+analogue of the reference's per-planner FftCache (fft_cache.rs:5-39), except
+that equal recipes share work across planners too because recipes are pure
+hashable data.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import numpy as np
+
+from . import recipes, twiddles
+from .common import FftDirection
+from .ops import bluestein as op_bluestein
+from .ops import ct as op_ct
+from .ops import dft as op_dft
+from .ops import good_thomas as op_gt
+from .ops import raders as op_raders
+
+# Sizes whose DFT matrix is small enough that a middle-axis contraction beats
+# transposing for a last-axis FFT.  Everything in the reference butterfly set
+# qualifies (max 32); the TPU planner's dense-DFT recipes up to
+# config.dense_dft_max qualify too.
+_MATRIX_LEAF_MAX = 512
+
+_CACHE: Dict[Tuple[recipes.Recipe, FftDirection, np.dtype], Callable] = {}
+
+
+def _is_matrix_leaf(recipe: recipes.Recipe) -> bool:
+    return (
+        isinstance(recipe, (recipes.Dft, recipes.Butterfly))
+        and recipe.length <= _MATRIX_LEAF_MAX
+    )
+
+
+def build(recipe: recipes.Recipe, direction: FftDirection, dtype) -> Callable:
+    """Return fn: (..., n) -> (..., n) computing the unnormalized DFT."""
+    dtype = np.dtype(dtype)
+    key = (recipe, direction, dtype)
+    fn = _CACHE.get(key)
+    if fn is None:
+        fn = _build(recipe, direction, dtype)
+        _CACHE[key] = fn
+    return fn
+
+
+def _build(recipe: recipes.Recipe, direction: FftDirection, dtype) -> Callable:
+    if isinstance(recipe, (recipes.Dft, recipes.Butterfly)):
+        return op_dft.make_dft_fn(recipe.length, direction, dtype)
+
+    if isinstance(recipe, recipes.Radix4):
+        base_fn = build(recipe.base, direction, dtype)
+        return op_ct.make_ct_chain_fn(
+            (4,) * recipe.k, recipe.base.length, base_fn, direction, dtype
+        )
+
+    if isinstance(recipe, recipes.RadixN):
+        base_fn = build(recipe.base, direction, dtype)
+        return op_ct.make_ct_chain_fn(
+            recipe.factors, recipe.base.length, base_fn, direction, dtype
+        )
+
+    if isinstance(recipe, (recipes.MixedRadix, recipes.MixedRadixSmall)):
+        p = recipe.left.length
+        q = recipe.right.length
+        right_fn = build(recipe.right, direction, dtype)
+        tw = twiddles.twiddle_table(p, q, direction)
+        if _is_matrix_leaf(recipe.left):
+            wp = twiddles.dft_matrix(p, direction)
+
+            def apply_mr(x, _p=p, _q=q, _wp=wp, _tw=tw, _rest=right_fn):
+                return op_ct.ct_stage_matmul(x, _p, _q, _wp, _tw, _rest, dtype)
+
+            return apply_mr
+        left_fn = build(recipe.left, direction, dtype)
+
+        def apply_mr_general(x, _p=p, _q=q, _l=left_fn, _r=right_fn, _tw=tw):
+            return op_ct.ct_stage_general(x, _p, _q, _l, _r, _tw, dtype)
+
+        return apply_mr_general
+
+    if isinstance(recipe, (recipes.GoodThomas, recipes.GoodThomasSmall)):
+        p = recipe.left.length
+        q = recipe.right.length
+        left_fn = build(recipe.left, direction, dtype)
+        right_fn = build(recipe.right, direction, dtype)
+        return op_gt.make_good_thomas_fn(p, q, left_fn, right_fn, dtype)
+
+    if isinstance(recipe, recipes.Raders):
+        inner_fn = build(recipe.inner, direction, dtype)
+        return op_raders.make_raders_fn(recipe.length, inner_fn, direction, dtype)
+
+    if isinstance(recipe, recipes.Bluesteins):
+        inner_fn = build(recipe.inner, direction, dtype)
+        return op_bluestein.make_bluestein_fn(
+            recipe.length, recipe.inner.length, inner_fn, direction, dtype
+        )
+
+    raise TypeError(f"Unknown recipe node: {recipe!r}")

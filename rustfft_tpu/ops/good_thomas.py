@@ -1,0 +1,59 @@
+"""Good-Thomas (Prime-Factor) algorithm: coprime n = p*q with no twiddles.
+
+Reference: algorithm/good_thomas_algorithm.rs:40-649.  The reference streams
+the CRT input re-index and Ruritanian output re-index with one integer
+division per row (good_thomas_algorithm.rs:144-222); on TPU both re-indexes
+are precomputed host-side as flat index arrays and applied as single gathers —
+the TPU equivalent of GoodThomasAlgorithmSmall's precomputed
+input_output_map (good_thomas_algorithm.rs:363-420), applied at every size.
+
+Math: with input map j = (q*j1 + p*j2) mod n, w_n^(jk) splits exactly into
+w_p^(j1*k) * w_q^(j2*k), so
+
+    X[k] = ( DFT_p ⊗ DFT_q )(x3)[k mod p, k mod q]
+
+— a 2-D DFT with *zero* twiddle multiplies, which is the whole point of the
+algorithm.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_index_maps(p: int, q: int):
+    """Precompute gather indices for input (CRT) and output (CRT residue) maps."""
+    n = p * q
+    j1 = np.arange(p, dtype=np.int64)[:, None]
+    j2 = np.arange(q, dtype=np.int64)[None, :]
+    input_map = ((q * j1 + p * j2) % n).reshape(-1)  # x3[j1,j2] = x[input_map]
+    k = np.arange(n, dtype=np.int64)
+    output_map = (k % p) * q + (k % q)  # X[k] = yflat[output_map[k]]
+    return input_map.astype(np.int32), output_map.astype(np.int32)
+
+
+def make_good_thomas_fn(
+    p: int,
+    q: int,
+    left_fn: Callable,
+    right_fn: Callable,
+    dtype,
+):
+    """left_fn: last-axis FFT of length p; right_fn: last-axis FFT of length q."""
+    input_map, output_map = make_index_maps(p, q)
+
+    def apply(x):
+        shape = x.shape
+        gathered = jnp.take(x, jnp.asarray(input_map), axis=-1)
+        x3 = gathered.reshape(shape[:-1] + (p, q))
+        # DFT over j2 (last axis), then over j1 via transpose.
+        y = right_fn(x3)
+        y = jnp.swapaxes(y, -1, -2)  # (..., q, p)
+        y = left_fn(y)
+        y = jnp.swapaxes(y, -1, -2)  # (..., p, q) indexed [k mod p, k mod q]
+        yflat = y.reshape(shape)
+        return jnp.take(yflat, jnp.asarray(output_map), axis=-1)
+
+    return apply

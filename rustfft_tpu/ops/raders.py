@@ -1,0 +1,84 @@
+"""Rader's algorithm: FFT of prime length p via cyclic convolution of p-1.
+
+Reference: algorithm/raders_algorithm.rs:41-330.  The index-chasing
+permutations by powers of the primitive root (raders_algorithm.rs:185-191,
+228-233) become precomputed gather index arrays (the TPU analogue of the AVX
+backend's gather-instruction version, avx_raders.rs:243-307).  The
+"inverse-via-conjugation" trick is kept verbatim: the second inner transform
+reuses the same-direction inner FFT by conjugating its input and output
+(raders_algorithm.rs:207-233).
+
+Plan-time precomputation (raders_algorithm.rs:86-109): the inner-FFT spectrum
+of the reordered, 1/(p-1)-scaled twiddles, computed host-side in f64.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import FftDirection
+from .. import math_utils, twiddles
+
+
+def make_raders_fn(
+    p: int,
+    inner_fn: Callable,
+    direction: FftDirection,
+    dtype,
+):
+    """Return fn: (..., p) -> (..., p). inner_fn is a length p-1 last-axis FFT."""
+    assert math_utils.is_prime(p), f"Rader's algorithm requires prime length, got {p}"
+    m = p - 1
+    g = math_utils.primitive_root(p)
+    g_inv = math_utils.mod_inverse(g, p)
+
+    # input gather: a[i] = x[g^(i+1) mod p]  (raders_algorithm.rs:185-191)
+    perm_in = np.empty(m, dtype=np.int64)
+    idx = 1
+    for i in range(m):
+        idx = idx * g % p
+        perm_in[i] = idx
+
+    # output scatter: out[g^-(i+1) mod p] = conj(D[i])  (raders_algorithm.rs:228-233)
+    # expressed as a gather: out[1..p][t] = conj(D[inv_gather[t]])
+    out_idx = np.empty(m, dtype=np.int64)
+    idx = 1
+    for i in range(m):
+        idx = idx * g_inv % p
+        out_idx[i] = idx
+    inv_gather = np.empty(m, dtype=np.int64)
+    inv_gather[out_idx - 1] = np.arange(m)
+
+    # plan-time: inner-FFT of b[i] = w_p^(g^-i) / (p-1)
+    # (raders_algorithm.rs:86-109; scale folds the inner FFT pair's
+    # missing 1/(p-1) normalization into the constant spectrum)
+    b = np.empty(m, dtype=np.complex128)
+    t = 1
+    for i in range(m):
+        b[i] = twiddles.compute_twiddle(t, p, direction)
+        t = t * g_inv % p
+    b_fft = twiddles.host_dft(b / m, direction)
+
+    b_fft_dev = b_fft.astype(dtype)
+    perm_in32 = perm_in.astype(np.int32)
+    inv_gather32 = inv_gather.astype(np.int32)
+
+    def apply(x):
+        x0 = x[..., :1]
+        a = jnp.take(x, jnp.asarray(perm_in32), axis=-1)
+        aft = inner_fn(a)
+        # out[0] = x[0] + sum(x[1:]) = x[0] + A[0]  (raders_algorithm.rs:202)
+        out0 = x0 + aft[..., :1]
+        # pointwise multiply by the precomputed spectrum; conjugate to set up
+        # the inverse-via-forward inner FFT  (raders_algorithm.rs:207-217)
+        c = jnp.conj(aft * jnp.asarray(b_fft_dev))
+        # add x[0] to the DC bin of the inverse transform (conjugated like
+        # everything else)  (raders_algorithm.rs:219-221)
+        c = c.at[..., 0].add(jnp.conj(x[..., 0]))
+        d = inner_fn(c)
+        rest = jnp.conj(jnp.take(d, jnp.asarray(inv_gather32), axis=-1))
+        return jnp.concatenate([out0, rest], axis=-1)
+
+    return apply

@@ -1,0 +1,349 @@
+"""Planners: recipe design + plan construction with caching.
+
+`FftPlannerScalar` reproduces the reference scalar planner's decision tree
+exactly (src/plan.rs:270-665) so its recipe unit tests port 1:1; it is the
+capability-parity baseline.  `FftPlannerTpu` is the hardware-tuned planner —
+the analogue of the reference's per-ISA planners (avx_planner.rs etc.), but
+driven by a TPU cost model (dense DFT-matmul up to config.dense_dft_max,
+MXU-friendly radix chains) instead of benchmark-derived AVX constants.
+`FftPlanner` auto-dispatches, mirroring plan.rs:67-126.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from . import recipes
+from .common import FftDirection, canonical_complex_dtype
+from .config import config
+from .math_utils import PrimeFactors
+from .plan import FftPlan
+
+#: reference: plan.rs:127-129
+MAX_RADIXN_FACTOR = 7
+MAX_RADER_PRIME_FACTOR = 23
+
+#: reference: plan.rs:610-634
+BUTTERFLY_SIZES = frozenset(
+    {2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 16, 17, 19, 23, 24, 27, 29, 31, 32}
+)
+
+#: reference: plan.rs:433-435 (note: excludes 12, includes 13)
+_BUTTERFLY_PRODUCT_SIZES = (
+    2, 3, 4, 5, 6, 7, 8, 9, 11, 13, 16, 17, 19, 23, 24, 27, 29, 31, 32,
+)
+
+
+class FftCache:
+    """(len, direction) -> FftPlan, separate forward/inverse maps.
+
+    reference: src/fft_cache.rs:5-39.
+    """
+
+    def __init__(self) -> None:
+        self._forward: Dict[int, FftPlan] = {}
+        self._inverse: Dict[int, FftPlan] = {}
+
+    def _map(self, direction: FftDirection) -> Dict[int, FftPlan]:
+        return self._forward if direction is FftDirection.FORWARD else self._inverse
+
+    def get(self, length: int, direction: FftDirection) -> Optional[FftPlan]:
+        return self._map(direction).get(length)
+
+    def insert(self, plan: FftPlan) -> None:
+        self._map(plan.fft_direction())[len(plan)] = plan
+
+    def contains_fft(self, length: int, direction: FftDirection) -> bool:
+        return length in self._map(direction)
+
+
+class _PlannerBase:
+    """Shared recipe-cache / plan-cache plumbing (plan.rs:270-335)."""
+
+    def __init__(self, dtype=np.complex64) -> None:
+        self.dtype = canonical_complex_dtype(dtype)
+        self.algorithm_cache = FftCache()
+        self.recipe_cache: Dict[int, recipes.Recipe] = {}
+
+    # -- public API (plan.rs:289-309) --
+    def plan_fft(self, length: int, direction: FftDirection) -> FftPlan:
+        recipe = self.design_fft_for_len(length)
+        cached = self.algorithm_cache.get(length, direction)
+        if cached is not None:
+            return cached
+        plan = FftPlan(recipe, direction, self.dtype)
+        self.algorithm_cache.insert(plan)
+        return plan
+
+    def plan_fft_forward(self, length: int) -> FftPlan:
+        return self.plan_fft(length, FftDirection.FORWARD)
+
+    def plan_fft_inverse(self, length: int) -> FftPlan:
+        return self.plan_fft(length, FftDirection.INVERSE)
+
+    # -- recipe design entry (plan.rs:312-323) --
+    def design_fft_for_len(self, length: int) -> recipes.Recipe:
+        if length < 2:
+            return recipes.Dft(length)
+        cached = self.recipe_cache.get(length)
+        if cached is not None:
+            return cached
+        factors = PrimeFactors.compute(length)
+        recipe = self.design_fft_with_factors(length, factors)
+        self.recipe_cache[length] = recipe
+        return recipe
+
+    def design_fft_with_factors(
+        self, length: int, factors: PrimeFactors
+    ) -> recipes.Recipe:
+        raise NotImplementedError
+
+
+class FftPlannerScalar(_PlannerBase):
+    """Exact port of the reference scalar planner's decision tree.
+
+    reference: src/plan.rs:270-665.  Selection order
+    (design_fft_with_factors, plan.rs:412-425): butterfly -> prime
+    (Rader's/Bluestein's) -> butterfly product -> RadixN -> partitioned
+    MixedRadix.
+    """
+
+    def design_fft_with_factors(
+        self, length: int, factors: PrimeFactors
+    ) -> recipes.Recipe:
+        butterfly = self._design_butterfly_algorithm(length)
+        if butterfly is not None:
+            return butterfly
+        if factors.is_prime():
+            return self._design_prime(length)
+        product = self._design_butterfly_product(length)
+        if product is not None:
+            return product
+        if factors.has_factors_leq(MAX_RADIXN_FACTOR):
+            return self._design_radixn(factors)
+        left_factors, right_factors = factors.partition_factors()
+        return self._design_mixed_radix(left_factors, right_factors)
+
+    def _design_butterfly_algorithm(self, length: int) -> Optional[recipes.Recipe]:
+        """reference: plan.rs:610-634."""
+        if length in BUTTERFLY_SIZES:
+            return recipes.Butterfly(length)
+        return None
+
+    def _design_butterfly_product(self, length: int) -> Optional[recipes.Recipe]:
+        """n = b1*b2 with both butterflies, min-sum pair (plan.rs:427-472)."""
+        if length > 992 or (length & (length - 1)) == 0:
+            return None
+        limit = math.ceil(math.sqrt(length)) + 1
+        min_sum = None
+        found: Optional[Tuple[int, int]] = None
+        for left in _BUTTERFLY_PRODUCT_SIZES:
+            if left >= limit:
+                break
+            right = length // left
+            if left * right == length and right in _BUTTERFLY_PRODUCT_SIZES:
+                s = left + right
+                if min_sum is None or s < min_sum:
+                    min_sum = s
+                    found = (left, right)
+        if found is None:
+            return None
+        left_len, right_len = found
+        left_fft = self.design_fft_for_len(left_len)
+        right_fft = self.design_fft_for_len(right_len)
+        if math.gcd(left_len, right_len) == 1:
+            return recipes.GoodThomasSmall(left_fft, right_fft)
+        return recipes.MixedRadixSmall(left_fft, right_fft)
+
+    def _design_mixed_radix(
+        self, left_factors: PrimeFactors, right_factors: PrimeFactors
+    ) -> recipes.Recipe:
+        """reference: plan.rs:474-506."""
+        left_len = left_factors.get_product()
+        right_len = right_factors.get_product()
+        left_fft = self.design_fft_with_factors(left_len, left_factors)
+        right_fft = self.design_fft_with_factors(right_len, right_factors)
+        if left_len < 31 and right_len < 31:
+            if math.gcd(left_len, right_len) == 1:
+                return recipes.GoodThomasSmall(left_fft, right_fft)
+            return recipes.MixedRadixSmall(left_fft, right_fft)
+        return recipes.MixedRadix(left_fft, right_fft)
+
+    def _design_radixn(self, factors: PrimeFactors) -> recipes.Recipe:
+        """Base-butterfly choice + Radix4/RadixN chain (plan.rs:508-607)."""
+        p2 = factors.get_power_of_two()
+        p3 = factors.get_power_of_three()
+        p5 = next(
+            (f.count for f in factors.get_other_factors() if f.value == 5), 0
+        )
+        p7 = next(
+            (f.count for f in factors.get_other_factors() if f.value == 7), 0
+        )
+
+        if factors.has_factors_gt(MAX_RADIXN_FACTOR):
+            base_len = factors.product_above(MAX_RADIXN_FACTOR)
+        elif p7 == 0 and p5 == 0 and p3 < 2:
+            if p3 == 0:
+                assert p2 > 5  # butterflies catch smaller powers of two
+                base_len = 8 if p2 % 2 == 1 else 16
+            else:
+                assert p2 > 3
+                base_len = 24 if p2 % 2 == 1 else 12
+        elif p2 > 0 and p3 > 0:
+            excess_p2 = max(p2 - p3, 0)
+            base_len = {0: 6, 1: 12}.get(excess_p2, 24)
+        elif p3 > 2:
+            base_len = 27
+        elif p3 > 1:
+            base_len = 9
+        elif p7 > 0:
+            base_len = 7
+        else:
+            assert p5 > 0
+            base_len = 5
+
+        base_fft = self.design_fft_for_len(base_len)
+        cross_len = factors.get_product() // base_len
+
+        # Radix4 when the cross is 4^k (plan.rs:568-573)
+        if cross_len & (cross_len - 1) == 0:
+            cross_bits = cross_len.bit_length() - 1
+            if cross_bits % 2 == 0:
+                return recipes.Radix4(cross_bits // 2, base_fft)
+
+        # RadixN factor list ordered 7,6,5,3,2,4s-last (plan.rs:575-606)
+        factor_list = []
+        for f in (7, 6, 5, 3):
+            while cross_len % f == 0:
+                cross_len //= f
+                factor_list.append(f)
+        assert cross_len & (cross_len - 1) == 0
+        cross_bits = cross_len.bit_length() - 1
+        if cross_bits % 2 == 1:
+            factor_list.append(2)
+        factor_list.extend([4] * (cross_bits // 2))
+        return recipes.RadixN(tuple(factor_list), base_fft)
+
+    def _design_prime(self, length: int) -> recipes.Recipe:
+        """Rader's vs Bluestein's for prime n (plan.rs:636-665)."""
+        inner_len_rader = length - 1
+        raders_factors = PrimeFactors.compute(inner_len_rader)
+        if any(
+            f.value > MAX_RADER_PRIME_FACTOR
+            for f in raders_factors.get_other_factors()
+        ):
+            # Bluestein's: inner = next pow2 >= 2n-1, or 3*2^(k-2) when that
+            # still clears the bound (plan.rs:645-657)
+            min_inner_len = 2 * length - 1
+            inner_len_pow2 = 1 << (min_inner_len - 1).bit_length()
+            inner_len_factor3 = inner_len_pow2 // 4 * 3
+            inner_len = (
+                inner_len_factor3
+                if inner_len_factor3 >= min_inner_len
+                else inner_len_pow2
+            )
+            inner_fft = self.design_fft_for_len(inner_len)
+            return recipes.Bluesteins(length, inner_fft)
+        inner_fft = self.design_fft_with_factors(inner_len_rader, raders_factors)
+        return recipes.Raders(inner_fft)
+
+
+class FftPlannerTpu(_PlannerBase):
+    """TPU cost-model planner.
+
+    Replaces the reference's benchmark-derived per-ISA planners
+    (avx_planner.rs:113-1012) with decisions shaped by the TPU memory
+    hierarchy: minimize passes over HBM and keep every DFT stage a large
+    MXU-friendly contraction.
+
+    * n <= config.dense_dft_max: one dense DFT-matrix matmul (single fused
+      pass; the MXU makes O(n^2) cheaper than multi-stage O(n log n) at these
+      sizes).
+    * composite n: balanced split n = p*q with a dense-matmul left factor
+      where possible — each level is one matmul + fused twiddle + transpose.
+    * prime n: same Rader's-vs-Bluestein's rule as the reference (the
+      number theory doesn't change), but Bluestein inner sizes prefer
+      2^a or 3*2^a, which stay on the fast pow2 path.
+    """
+
+    def design_fft_with_factors(
+        self, length: int, factors: PrimeFactors
+    ) -> recipes.Recipe:
+        if length <= config.dense_dft_max:
+            return recipes.Dft(length)
+        if factors.is_prime():
+            return self._design_prime(length)
+        return self._design_composite(length, factors)
+
+    def _design_composite(
+        self, length: int, factors: PrimeFactors
+    ) -> recipes.Recipe:
+        # Pick p = the largest divisor <= dense_dft_max that keeps q = n/p as
+        # smooth as possible; prefer balanced splits for very large n so the
+        # recursion depth (= passes over HBM) stays minimal.
+        p = self._choose_left_factor(length)
+        if p is None:
+            # No divisor <= dense_dft_max (e.g. product of two large primes):
+            # fall back to the partitioned mixed radix like the reference.
+            left_factors, right_factors = factors.partition_factors()
+            left = self.design_fft_for_len(left_factors.get_product())
+            right = self.design_fft_for_len(right_factors.get_product())
+            return recipes.MixedRadix(left, right)
+        q = length // p
+        left = self.design_fft_for_len(p)
+        right = self.design_fft_for_len(q)
+        return recipes.MixedRadix(left, right)
+
+    def _choose_left_factor(self, length: int) -> Optional[int]:
+        limit = min(config.dense_dft_max, length - 1)
+        # search downward from min(limit, ceil(sqrt)) upscaled: prefer the
+        # largest factor <= limit to minimize recursion depth on q.
+        best = None
+        for p in range(limit, 1, -1):
+            if length % p == 0:
+                best = p
+                break
+        return best
+
+    def _design_prime(self, length: int) -> recipes.Recipe:
+        inner_len_rader = length - 1
+        raders_factors = PrimeFactors.compute(inner_len_rader)
+        if any(
+            f.value > MAX_RADER_PRIME_FACTOR
+            for f in raders_factors.get_other_factors()
+        ):
+            min_inner_len = 2 * length - 1
+            inner_len_pow2 = 1 << (min_inner_len - 1).bit_length()
+            inner_len_factor3 = inner_len_pow2 // 4 * 3
+            inner_len = (
+                inner_len_factor3
+                if inner_len_factor3 >= min_inner_len
+                else inner_len_pow2
+            )
+            inner_fft = self.design_fft_for_len(inner_len)
+            return recipes.Bluesteins(length, inner_fft)
+        inner_fft = self.design_fft_with_factors(inner_len_rader, raders_factors)
+        return recipes.Raders(inner_fft)
+
+
+class FftPlanner(_PlannerBase):
+    """Auto-dispatching planner (reference: plan.rs:67-126).
+
+    The reference picks AVX -> SSE -> NEON -> WASM-SIMD -> scalar at
+    construction; here the only hardware target is TPU (XLA also runs the
+    same program on CPU/GPU backends), so this delegates to FftPlannerTpu.
+    """
+
+    def __init__(self, dtype=np.complex64) -> None:
+        super().__init__(dtype)
+        self._inner = FftPlannerTpu(dtype)
+        # share caches so plan_fft and design_fft_for_len agree
+        self._inner.algorithm_cache = self.algorithm_cache
+        self._inner.recipe_cache = self.recipe_cache
+
+    def design_fft_with_factors(
+        self, length: int, factors: PrimeFactors
+    ) -> recipes.Recipe:
+        return self._inner.design_fft_with_factors(length, factors)
