@@ -1,0 +1,118 @@
+"""Benchmark harness: batched c64 FFT throughput on the default JAX device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: GFLOP/s at the standard 5*N*log2(N) FFT flop count (BASELINE.json),
+geometric mean over the headline size sweep (pow2 sizes spanning the
+four-step/MXU path, the 1234 planner scenario, and a Rader prime).
+
+vs_baseline: ratio against numpy's pocketfft (np.fft.fft) on the host CPU for
+the same shapes — the stand-in for the reference's class (an optimized CPU
+FFT library; RustFFT publishes no absolute numbers, BASELINE.md).
+
+Timing methodology: the tunneled TPU runtime here does not synchronize on
+block_until_ready, so each measurement folds `iters` chained transforms into
+ONE jitted lax.fori_loop and forces execution with a scalar readback; a
+zero-work dispatch+readback probe is subtracted as overhead.
+"""
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def bench_config(n: int, batch: int, iters: int = 8):
+    import jax
+
+    from rustfft_tpu import FftPlanner
+
+    plan = FftPlanner().plan_fft_forward(n)
+    rng = np.random.default_rng(0)
+    re = jax.device_put(rng.standard_normal((batch, n)).astype(np.float32))
+    im = jax.device_put(rng.standard_normal((batch, n)).astype(np.float32))
+    raw = plan.raw_fn
+    scale = np.float32(1.0 / n)
+
+    @jax.jit
+    def many(x):
+        def body(i, x):
+            r, m = raw(x)
+            return (r * scale, m * scale)  # keep magnitudes bounded
+
+        x = jax.lax.fori_loop(0, iters, body, x)
+        return x[0].sum() + x[1].sum()
+
+    @jax.jit
+    def nothing(x):
+        return x[0][0, 0] + x[1][0, 0]
+
+    float(many((re, im)))  # compile + warm
+    float(nothing((re, im)))
+    t0 = time.perf_counter()
+    float(nothing((re, im)))
+    t_over = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(many((re, im)))
+    t_total = time.perf_counter() - t0
+    t_per = max((t_total - t_over) / iters, 1e-9)
+    gflops = 5.0 * batch * n * math.log2(n) / t_per / 1e9
+    return t_per, gflops
+
+
+def bench_numpy(n: int, batch_cap: int = 1 << 22, iters: int = 3):
+    base_batch = max(1, batch_cap // n)
+    rng = np.random.default_rng(0)
+    x = (
+        rng.standard_normal((base_batch, n)) + 1j * rng.standard_normal((base_batch, n))
+    ).astype(np.complex64)
+    np.fft.fft(x, axis=-1)  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.fft.fft(x, axis=-1)
+    t = (time.perf_counter() - t0) / iters
+    return 5.0 * base_batch * n * math.log2(n) / t / 1e9
+
+
+def main():
+    configs = [
+        (1024, 65536),
+        (4096, 16384),
+        (65536, 1024),
+        (1 << 20, 64),
+        (1234, 8192),  # BASELINE config 1 (planner path, non-pow2)
+        (1009, 8192),  # BASELINE config 3 (Rader prime)
+    ]
+
+    results = []
+    for n, batch in configs:
+        t_per, gflops = bench_config(n, batch)
+        base_gflops = bench_numpy(n)
+        results.append((gflops, base_gflops))
+        print(
+            f"# n={n:>8} batch={batch:>6}: {t_per*1e3:8.3f} ms/fft "
+            f"{gflops:9.1f} GFLOP/s | numpy cpu {base_gflops:6.1f} "
+            f"| ratio {gflops/base_gflops:8.1f}x",
+            file=sys.stderr,
+        )
+
+    geo = math.exp(sum(math.log(g) for g, _ in results) / len(results))
+    geo_base = math.exp(sum(math.log(b) for _, b in results) / len(results))
+    print(
+        json.dumps(
+            {
+                "metric": "batched c64 FFT GFLOP/s, geomean over sizes "
+                "{1024,4096,65536,2^20,1234,1009}",
+                "value": round(geo, 2),
+                "unit": "GFLOP/s (5N log2 N)",
+                "vs_baseline": round(geo / geo_base, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -20,7 +20,7 @@ from typing import Callable, Dict, Tuple
 
 import numpy as np
 
-from . import recipes, twiddles
+from . import recipes
 from .common import FftDirection
 from .ops import bluestein as op_bluestein
 from .ops import ct as op_ct
@@ -45,7 +45,11 @@ def _is_matrix_leaf(recipe: recipes.Recipe) -> bool:
 
 
 def build(recipe: recipes.Recipe, direction: FftDirection, dtype) -> Callable:
-    """Return fn: (..., n) -> (..., n) computing the unnormalized DFT."""
+    """Return fn: Cplx (..., n) -> Cplx (..., n) computing the unnormalized DFT.
+
+    Functions operate on complex-pair tuples (re, im) of real arrays — the
+    TPU runtime has no complex dtypes (see ops/calg.py).
+    """
     dtype = np.dtype(dtype)
     key = (recipe, direction, dtype)
     fn = _CACHE.get(key)
@@ -75,20 +79,12 @@ def _build(recipe: recipes.Recipe, direction: FftDirection, dtype) -> Callable:
         p = recipe.left.length
         q = recipe.right.length
         right_fn = build(recipe.right, direction, dtype)
-        tw = twiddles.twiddle_table(p, q, direction)
         if _is_matrix_leaf(recipe.left):
-            wp = twiddles.dft_matrix(p, direction)
-
-            def apply_mr(x, _p=p, _q=q, _wp=wp, _tw=tw, _rest=right_fn):
-                return op_ct.ct_stage_matmul(x, _p, _q, _wp, _tw, _rest, dtype)
-
-            return apply_mr
+            return op_ct.make_ct_stage_fn(p, q, right_fn, direction, dtype)
         left_fn = build(recipe.left, direction, dtype)
-
-        def apply_mr_general(x, _p=p, _q=q, _l=left_fn, _r=right_fn, _tw=tw):
-            return op_ct.ct_stage_general(x, _p, _q, _l, _r, _tw, dtype)
-
-        return apply_mr_general
+        return op_ct.make_ct_stage_general_fn(
+            p, q, left_fn, right_fn, direction, dtype
+        )
 
     if isinstance(recipe, (recipes.GoodThomas, recipes.GoodThomasSmall)):
         p = recipe.left.length

@@ -6,7 +6,7 @@ symmetric-wrapped, 1/m-scaled conjugate chirp, computed host-side in f64 with
 the squared-index-mod-2n precision trick (twiddles.rs:25-57).  At run time the
 chirp multiplies are VPU elementwise ops that XLA fuses with the surrounding
 FFT stages; the conjugation-as-inverse trick reuses the same-direction inner
-FFT for the second transform (bluesteins_algorithm.rs:116-135, the avx
+FFT for the second transform (bluesteins_algorithm.rs:116-135; the AVX
 backend's fused `mul_complex_conjugated`, avx_bluesteins.rs:36-52, is exactly
 the fusion XLA performs here).
 """
@@ -19,6 +19,7 @@ import numpy as np
 
 from ..common import FftDirection
 from .. import twiddles
+from . import calg
 
 
 def make_bluestein_fn(
@@ -28,33 +29,33 @@ def make_bluestein_fn(
     direction: FftDirection,
     dtype,
 ):
-    """Return fn: (..., n) -> (..., n). inner_fn is a length-m last-axis FFT."""
+    """Return fn: Cplx (..., n) -> Cplx (..., n). inner_fn: length-m FFT."""
     assert m >= 2 * n - 1, f"Bluestein inner length {m} < 2*{n}-1"
+    rdt = calg.real_dtype_of(dtype)
 
     # "mundane" chirp applied before and after (bluesteins_algorithm.rs:87-89)
     chirp = twiddles.bluesteins_twiddles(n, direction)
+    cr = chirp.real.astype(rdt)
+    ci = chirp.imag.astype(rdt)
 
     # conjugate-direction chirp, scaled by 1/m, wrapped symmetrically, then
-    # transformed by the (same-direction) inner FFT
-    # (bluesteins_algorithm.rs:62-84)
+    # transformed by the (same-direction) inner FFT (bluesteins_algorithm.rs:62-84)
     h = twiddles.bluesteins_twiddles(n, direction.opposite()) / m
     h_full = np.zeros(m, dtype=np.complex128)
     h_full[0] = h[0]
     h_full[1:n] = h[1:]
     h_full[m - n + 1 :] = h[1:][::-1]
     h_fft = twiddles.host_dft(h_full, direction)
-
-    chirp_dev = chirp.astype(dtype)
-    h_fft_dev = h_fft.astype(dtype)
+    hr = h_fft.real.astype(rdt)
+    hi = h_fft.imag.astype(rdt)
 
     def apply(x):
-        shape = x.shape
-        y = x * jnp.asarray(chirp_dev)
-        pad = [(0, 0)] * (len(shape) - 1) + [(0, m - n)]
-        y = jnp.pad(y, pad)
+        y = calg.cmul_const(x, jnp.asarray(cr), jnp.asarray(ci))
+        y = calg.pad_last(y, m - n)
         yf = inner_fn(y)
-        z = jnp.conj(yf * jnp.asarray(h_fft_dev))
+        z = calg.conj(calg.cmul_const(yf, jnp.asarray(hr), jnp.asarray(hi)))
         zf = inner_fn(z)
-        return jnp.conj(zf[..., :n]) * jnp.asarray(chirp_dev)
+        head = (zf[0][..., :n], -zf[1][..., :n])  # conj + truncate
+        return calg.cmul_const(head, jnp.asarray(cr), jnp.asarray(ci))
 
     return apply

@@ -10,7 +10,7 @@ input_output_map (good_thomas_algorithm.rs:363-420), applied at every size.
 Math: with input map j = (q*j1 + p*j2) mod n, w_n^(jk) splits exactly into
 w_p^(j1*k) * w_q^(j2*k), so
 
-    X[k] = ( DFT_p ⊗ DFT_q )(x3)[k mod p, k mod q]
+    X[k] = ( DFT_p (x) DFT_q )(x3)[k mod p, k mod q]
 
 — a 2-D DFT with *zero* twiddle multiplies, which is the whole point of the
 algorithm.
@@ -22,9 +22,11 @@ from typing import Callable
 import jax.numpy as jnp
 import numpy as np
 
+from . import calg
+
 
 def make_index_maps(p: int, q: int):
-    """Precompute gather indices for input (CRT) and output (CRT residue) maps."""
+    """Precompute gather indices for input (CRT) and output (residue) maps."""
     n = p * q
     j1 = np.arange(p, dtype=np.int64)[:, None]
     j2 = np.arange(q, dtype=np.int64)[None, :]
@@ -45,15 +47,14 @@ def make_good_thomas_fn(
     input_map, output_map = make_index_maps(p, q)
 
     def apply(x):
-        shape = x.shape
-        gathered = jnp.take(x, jnp.asarray(input_map), axis=-1)
-        x3 = gathered.reshape(shape[:-1] + (p, q))
-        # DFT over j2 (last axis), then over j1 via transpose.
-        y = right_fn(x3)
-        y = jnp.swapaxes(y, -1, -2)  # (..., q, p)
-        y = left_fn(y)
-        y = jnp.swapaxes(y, -1, -2)  # (..., p, q) indexed [k mod p, k mod q]
-        yflat = y.reshape(shape)
-        return jnp.take(yflat, jnp.asarray(output_map), axis=-1)
+        shape = x[0].shape
+        gathered = calg.take(x, jnp.asarray(input_map), axis=-1)
+        x3 = calg.reshape(gathered, shape[:-1] + (p, q))
+        y = right_fn(x3)  # DFT over j2 -> [j1, k2]
+        y = calg.swapaxes(y, -1, -2)  # (..., q, p)
+        y = left_fn(y)  # DFT over j1 -> [k2, k1]
+        y = calg.swapaxes(y, -1, -2)  # (..., p, q) = [k mod p, k mod q]
+        yflat = calg.reshape(y, shape)
+        return calg.take(yflat, jnp.asarray(output_map), axis=-1)
 
     return apply

@@ -20,6 +20,7 @@ import numpy as np
 
 from ..common import FftDirection
 from .. import math_utils, twiddles
+from . import calg
 
 
 def make_raders_fn(
@@ -28,11 +29,12 @@ def make_raders_fn(
     direction: FftDirection,
     dtype,
 ):
-    """Return fn: (..., p) -> (..., p). inner_fn is a length p-1 last-axis FFT."""
+    """Return fn: Cplx (..., p) -> Cplx (..., p). inner_fn: length p-1 FFT."""
     assert math_utils.is_prime(p), f"Rader's algorithm requires prime length, got {p}"
     m = p - 1
     g = math_utils.primitive_root(p)
     g_inv = math_utils.mod_inverse(g, p)
+    rdt = calg.real_dtype_of(dtype)
 
     # input gather: a[i] = x[g^(i+1) mod p]  (raders_algorithm.rs:185-191)
     perm_in = np.empty(m, dtype=np.int64)
@@ -41,7 +43,7 @@ def make_raders_fn(
         idx = idx * g % p
         perm_in[i] = idx
 
-    # output scatter: out[g^-(i+1) mod p] = conj(D[i])  (raders_algorithm.rs:228-233)
+    # output scatter out[g^-(i+1) mod p] = conj(D[i]) (raders_algorithm.rs:228-233),
     # expressed as a gather: out[1..p][t] = conj(D[inv_gather[t]])
     out_idx = np.empty(m, dtype=np.int64)
     idx = 1
@@ -51,34 +53,33 @@ def make_raders_fn(
     inv_gather = np.empty(m, dtype=np.int64)
     inv_gather[out_idx - 1] = np.arange(m)
 
-    # plan-time: inner-FFT of b[i] = w_p^(g^-i) / (p-1)
-    # (raders_algorithm.rs:86-109; scale folds the inner FFT pair's
-    # missing 1/(p-1) normalization into the constant spectrum)
+    # plan-time: inner-FFT spectrum of b[i] = w_p^(g^-i) / (p-1)
     b = np.empty(m, dtype=np.complex128)
     t = 1
     for i in range(m):
         b[i] = twiddles.compute_twiddle(t, p, direction)
         t = t * g_inv % p
     b_fft = twiddles.host_dft(b / m, direction)
+    bfr = b_fft.real.astype(rdt)
+    bfi = b_fft.imag.astype(rdt)
 
-    b_fft_dev = b_fft.astype(dtype)
     perm_in32 = perm_in.astype(np.int32)
     inv_gather32 = inv_gather.astype(np.int32)
 
     def apply(x):
-        x0 = x[..., :1]
-        a = jnp.take(x, jnp.asarray(perm_in32), axis=-1)
+        xr, xi = x
+        a = calg.take(x, jnp.asarray(perm_in32), axis=-1)
         aft = inner_fn(a)
-        # out[0] = x[0] + sum(x[1:]) = x[0] + A[0]  (raders_algorithm.rs:202)
-        out0 = x0 + aft[..., :1]
-        # pointwise multiply by the precomputed spectrum; conjugate to set up
+        # out[0] = x[0] + A[0]  (raders_algorithm.rs:202)
+        out0 = (xr[..., :1] + aft[0][..., :1], xi[..., :1] + aft[1][..., :1])
+        # pointwise multiply by the precomputed spectrum, conjugated to set up
         # the inverse-via-forward inner FFT  (raders_algorithm.rs:207-217)
-        c = jnp.conj(aft * jnp.asarray(b_fft_dev))
-        # add x[0] to the DC bin of the inverse transform (conjugated like
-        # everything else)  (raders_algorithm.rs:219-221)
-        c = c.at[..., 0].add(jnp.conj(x[..., 0]))
-        d = inner_fn(c)
-        rest = jnp.conj(jnp.take(d, jnp.asarray(inv_gather32), axis=-1))
-        return jnp.concatenate([out0, rest], axis=-1)
+        c = calg.conj(calg.cmul_const(aft, jnp.asarray(bfr), jnp.asarray(bfi)))
+        # add conj(x[0]) to the DC bin  (raders_algorithm.rs:219-221)
+        cr = c[0].at[..., 0].add(xr[..., 0])
+        ci = c[1].at[..., 0].add(-xi[..., 0])
+        d = inner_fn((cr, ci))
+        rest = calg.conj(calg.take(d, jnp.asarray(inv_gather32), axis=-1))
+        return calg.concat_last(out0, rest)
 
     return apply

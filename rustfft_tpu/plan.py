@@ -33,6 +33,9 @@ class FftPlan:
         self._recipe = recipe
         self._direction = direction
         self._dtype = canonical_complex_dtype(dtype)
+        self._real_dtype = np.dtype(
+            np.float32 if self._dtype == np.complex64 else np.float64
+        )
         if self._dtype == np.complex128 and not jax.config.jax_enable_x64:
             import warnings
 
@@ -42,6 +45,8 @@ class FftPlan:
                 "jax.config.update('jax_enable_x64', True) for f64 parity.",
                 stacklevel=3,
             )
+        # The compute path works on complex-pair tuples (re, im) of real
+        # arrays — the TPU runtime has no complex dtypes (ops/calg.py).
         self._raw_fn = executor.build(recipe, direction, self._dtype)
         # One jitted entry; jax caches compiled executables per input shape,
         # which is the analogue of the reference FftCache keyed by length
@@ -80,20 +85,35 @@ class FftPlan:
         (reference batching contract, lib.rs:200-209).  Output is ascending
         frequency order, DC first, unnormalized (lib.rs:81-89).
         """
-        x = jnp.asarray(buffer, dtype=self._dtype)
+        x = np.asarray(buffer).astype(self._dtype)
         n = self._recipe.length
         if x.ndim == 0:
             raise FftBufferError("FFT input must have at least one dimension")
         chunks = validate_buffer_len(x.shape[-1], n)
-        if n == 0 or x.shape[-1] == 0:
+        if n <= 1 or x.shape[-1] == 0:
             return x
-        if n == 1:
-            return x
-        if x.shape[-1] == n:
-            return self._jit_fn(x)
-        batched = x.reshape(x.shape[:-1] + (chunks, n))
-        out = self._jit_fn(batched)
-        return out.reshape(x.shape)
+        shape = x.shape
+        if shape[-1] != n:
+            x = x.reshape(shape[:-1] + (chunks, n))
+        re, im = self.process_pair(
+            x.real.astype(self._real_dtype), x.imag.astype(self._real_dtype)
+        )
+        out = np.asarray(re).astype(self._real_dtype) + 1j * np.asarray(im)
+        return out.reshape(shape).astype(self._dtype)
+
+    def process_pair(self, re, im):
+        """Device-level entry: (re, im) real arrays of shape (..., len).
+
+        This is the jitted, jit-composable compute path — complex splitting
+        happens at the host boundary in `process`; TPU programs should call
+        this (or `raw_fn`) directly with real tensors.
+        """
+        return self._jit_fn((jnp.asarray(re), jnp.asarray(im)))
+
+    @property
+    def raw_fn(self):
+        """The traced pair function Cplx -> Cplx, for composition under jit."""
+        return self._raw_fn
 
     def __call__(self, buffer: Any):
         return self.process(buffer)
