@@ -28,6 +28,14 @@ class FftConfig:
     #: contraction size).
     pow2_radix: int = 16
 
+    #: Use the native C++ plancore (number theory + recipe design) when its
+    #: shared library is available; pure-Python fallback otherwise.
+    use_native: bool = True
+
+    #: Use fused Pallas kernels on TPU backends ("auto"), always ("on"), or
+    #: never ("off" — pure-XLA path, also the CPU path).
+    use_pallas: str = "auto"
+
 
 #: Module-level config; mutate fields or swap wholesale to retune.
 config = FftConfig()

@@ -83,6 +83,9 @@ class _PlannerBase:
     def plan_fft_inverse(self, length: int) -> FftPlan:
         return self.plan_fft(length, FftDirection.INVERSE)
 
+    #: subclasses with a native (C++ plancore) recipe designer set this
+    _native_design = False
+
     # -- recipe design entry (plan.rs:312-323) --
     def design_fft_for_len(self, length: int) -> recipes.Recipe:
         if length < 2:
@@ -90,8 +93,14 @@ class _PlannerBase:
         cached = self.recipe_cache.get(length)
         if cached is not None:
             return cached
-        factors = PrimeFactors.compute(length)
-        recipe = self.design_fft_with_factors(length, factors)
+        recipe = None
+        if self._native_design and config.use_native:
+            from . import native
+
+            recipe = native.design_recipe(length)
+        if recipe is None:
+            factors = PrimeFactors.compute(length)
+            recipe = self.design_fft_with_factors(length, factors)
         self.recipe_cache[length] = recipe
         return recipe
 
@@ -108,7 +117,14 @@ class FftPlannerScalar(_PlannerBase):
     (design_fft_with_factors, plan.rs:412-425): butterfly -> prime
     (Rader's/Bluestein's) -> butterfly product -> RadixN -> partitioned
     MixedRadix.
+
+    Recipe design runs in the native C++ plancore when available
+    (native/plancore.cc, exact behavioral parity pinned by
+    tests/test_native.py); this Python tree is the always-available fallback
+    and the readable specification.
     """
+
+    _native_design = True
 
     def design_fft_with_factors(
         self, length: int, factors: PrimeFactors
