@@ -32,9 +32,26 @@ class FftConfig:
     #: shared library is available; pure-Python fallback otherwise.
     use_native: bool = True
 
-    #: Use fused Pallas kernels on TPU backends ("auto"), always ("on"), or
-    #: never ("off" — pure-XLA path, also the CPU path).
+    #: Use fused Pallas kernels on TPU backends ("auto"), always ("on" —
+    #: interpret mode off-TPU, for testing), or never ("off" — pure-XLA path,
+    #: also the CPU path).
     use_pallas: str = "auto"
+
+    #: Smallest transform the fused Pallas kernel takes over from the XLA
+    #: path ("auto" mode).  Below this, a single dense-DFT matmul that XLA
+    #: fuses with neighboring ops wins over a separate kernel launch.
+    pallas_min_n: int = 1024
+
+    #: MXU precision inside Pallas kernels.  "bf16x3" = manual 3-pass bf16
+    #: emulation (f32-grade accuracy at half the passes of HIGHEST, which
+    #: Mosaic would otherwise use; Mosaic rejects Precision.HIGH).  Other
+    #: accepted values: jax.lax.Precision.HIGHEST / .DEFAULT.
+    pallas_precision: object = "bf16x3"
+
+    #: Scoped VMEM budget for Pallas kernels (bytes).  The TPU default is
+    #: 16MB; v5e cores have more physical VMEM, and a larger budget lets the
+    #: fused kernels run bigger batch tiles (fewer grid steps).
+    pallas_vmem_limit: int = 64 * 1024 * 1024
 
 
 #: Module-level config; mutate fields or swap wholesale to retune.

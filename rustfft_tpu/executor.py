@@ -16,12 +16,13 @@ hashable data.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
 
 from . import recipes
 from .common import FftDirection
+from .config import config
 from .ops import bluestein as op_bluestein
 from .ops import ct as op_ct
 from .ops import dft as op_dft
@@ -34,7 +35,47 @@ from .ops import raders as op_raders
 # config.dense_dft_max qualify too.
 _MATRIX_LEAF_MAX = 512
 
-_CACHE: Dict[Tuple[recipes.Recipe, FftDirection, np.dtype], Callable] = {}
+_CACHE: Dict[Tuple, Callable] = {}
+
+
+def _pallas_mode() -> str:
+    """Resolve config.use_pallas to 'tpu', 'interpret', or 'off'.
+
+    'auto' enables the fused kernels only when the default JAX backend is a
+    real TPU (the analogue of the reference planners' runtime CPU-feature
+    detection, plan.rs:72-94); 'on' forces them, using the Pallas interpreter
+    off-TPU (slow — testing only).
+    """
+    mode = config.use_pallas
+    if mode == "off":
+        return "off"
+    import jax
+
+    # TPU runtimes may present under plugin platform names (e.g. the tunneled
+    # 'axon' platform), so sniff the device kind rather than the backend name.
+    try:
+        dev = jax.devices()[0]
+        on_tpu = jax.default_backend() == "tpu" or "TPU" in (dev.device_kind or "")
+    except RuntimeError:
+        on_tpu = False
+    if mode == "on":
+        return "tpu" if on_tpu else "interpret"
+    return "tpu" if on_tpu else "off"
+
+
+def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[Callable]:
+    """Fused whole-transform Pallas kernel when the routing rules allow it."""
+    if mode == "off":
+        return None
+    from .ops.pallas import fused
+
+    if not fused.fused_supported(n, dtype):
+        return None
+    if mode == "tpu" and n < config.pallas_min_n:
+        return None
+    return fused.make_fused_two_stage_fn(
+        n, direction, dtype, interpret=(mode == "interpret")
+    )
 
 
 def _is_matrix_leaf(recipe: recipes.Recipe) -> bool:
@@ -51,10 +92,13 @@ def build(recipe: recipes.Recipe, direction: FftDirection, dtype) -> Callable:
     TPU runtime has no complex dtypes (see ops/calg.py).
     """
     dtype = np.dtype(dtype)
-    key = (recipe, direction, dtype)
+    mode = _pallas_mode()
+    key = (recipe, direction, dtype, mode, config.pallas_min_n)
     fn = _CACHE.get(key)
     if fn is None:
-        fn = _build(recipe, direction, dtype)
+        fn = _maybe_fused(recipe.length, direction, dtype, mode)
+        if fn is None:
+            fn = _build(recipe, direction, dtype)
         _CACHE[key] = fn
     return fn
 

@@ -3,15 +3,21 @@
 For n = p*q (p, q <= 512), the four-step decomposition (ops/ct.py derivation)
 runs entirely inside one Pallas kernel per batch tile:
 
-    load (TB, n) -> (TB, p, q) -> swap -> GEMM vs DFT_p block -> twiddle
-    -> swap -> GEMM vs DFT_q block -> swap -> store (TB, n)
+    load (TB, p, q) -> DFT_p over the sublane axis (MXU) -> twiddle (VPU)
+    -> DFT_q over the lane axis (MXU) -> one VMEM transpose -> store (TB, q, p)
 
-Both GEMMs are real block-matrix complex matmuls (calg.block_last) with
-K = 2p / 2q contraction dims that tile the 128x128 MXU; the three transposes
-and the twiddle multiply are VMEM-local, so each transform costs exactly one
-HBM read + one HBM write — the memory-bound speed of light for a batched
-FFT.  This kernel replaces a chain of XLA einsum stages that would each
-round-trip HBM (the XLA-level path remains as the fallback and the CPU path).
+Complex arithmetic is carried in block form (calg.block_mid/block_last): one
+real GEMM per stage with doubled contraction dims.  Stage 1 contracts the
+sublane (j1) axis directly via dot_general — the MXU natively contracts the
+rhs sublane dimension, so no input transpose is needed; stage 2 contracts the
+lane (j2) axis as a plain right-matmul with all leading axes folded into GEMM
+rows.  The single remaining transpose puts the output in natural ascending-
+frequency order k = k2*p + k1.  Each transform therefore costs exactly one
+HBM read + one HBM write — the memory-bound speed of light for a batched FFT
+— plus MXU work of 8(p+q) flops/element.
+
+This kernel replaces a chain of XLA einsum stages that would each round-trip
+HBM (the XLA-level path remains as the fallback and the CPU path).
 
 Reference counterpart: the AVX "butterfly-with-scratch" kernels that keep
 64..512-point FFTs entirely in registers (avx32_butterflies.rs:118-244), and
@@ -33,9 +39,13 @@ from ...config import config
 from ... import twiddles
 from .. import calg
 
-#: largest fused transform: p, q <= 512 keeps the (2p)^2 DFT blocks and the
-#: (TB, n) tile within VMEM limits.
+#: largest fused transform: p, q <= 512 with the constant tables (two DFT
+#: blocks + twiddle table) and a (TB, n) tile within the 16MB VMEM.
 MAX_FUSED_N = 512 * 512
+
+#: factor cap.  512 keeps the (2f)^2 f32 DFT blocks at 4MB; the split chooser
+#: only reaches it when nothing smaller divides n.
+MAX_FACTOR = 512
 
 
 def fused_supported(n: int, dtype) -> bool:
@@ -48,73 +58,130 @@ def fused_supported(n: int, dtype) -> bool:
 
 
 def _choose_pq(n: int) -> Optional[Tuple[int, int]]:
-    """Near-balanced n = p*q with p, q <= 512 (prefer q >= p; lane-friendly q)."""
+    """Split n = p*q with p, q <= MAX_FACTOR, tuned for the kernel's GEMMs.
+
+    Stage 1 is a per-batch-row GEMM with N = q lanes, so q wants to be a
+    multiple (ideally exactly a small multiple) of the 128-wide MXU; stage 2
+    has N = 2q and M = rows, both fine for any q >= 64.  Preference order:
+    q a multiple of 128 with the smallest |p - q| imbalance, then largest
+    lane-multiple of 8, then any valid split.
+    """
     best = None
-    for p in range(2, 513):
+    for p in range(2, MAX_FACTOR + 1):
         if n % p:
             continue
         q = n // p
-        if q > 512:
+        if q > MAX_FACTOR:
             continue
-        score = abs(p - q)
-        if best is None or score < best[0]:
-            best = (score, p, q)
+        # VMEM feasibility: constant tables + one tb=1 tile's ~16 live copies
+        # must fit the VMEM budget (rejects e.g. 512x512 under small budgets).
+        consts = 4 * (4 * p * p + 4 * q * q + 2 * p * q)
+        if consts + 16 * 4 * n > int(config.pallas_vmem_limit * 0.9):
+            continue
+        # rank: q % 128 == 0 best, then q % 8 == 0, then rest; tie-break on
+        # balance (small p+q = least MXU flops: 8(p+q) flops/elem)
+        rank = 0 if q % 128 == 0 else (1 if q % 8 == 0 else 2)
+        key = (rank, p + q, abs(p - q))
+        if best is None or key < best[0]:
+            best = (key, p, q)
     if best is None:
         return None
     _, p, q = best
     return p, q
 
 
-def _pick_batch_tile(batch: int, n: int) -> int:
-    """Choose TB so the kernel's working set fits VMEM.
+def _pick_batch_tile(batch: int, p: int, q: int) -> int:
+    """Choose TB so the kernel's working set fits the VMEM budget.
 
-    Empirically ~20 live f32 tile copies (intermediates + Mosaic's
-    double-buffered in/out blocks) bound the footprint; keep them under ~6MB
-    of the 16MB VMEM.
+    Live f32 copies of the (TB, p, q) tile: in r/i + concat (4), stage-1 out
+    (2), twiddled (2), stage-2 concat + out (4), transposed out + Mosaic
+    double-buffered io (4) — ~16 copies plus the constant tables.
     """
-    budget = 6 * 1024 * 1024
-    per_row = 20 * 4 * n
+    n = p * q
+    consts = 4 * (4 * p * p + 4 * q * q + 2 * p * q)
+    budget = int(config.pallas_vmem_limit * 0.8) - consts
+    per_row = 16 * 4 * n
     tb = max(1, budget // per_row)
     tb = 1 << (tb.bit_length() - 1)  # floor to a power of two
-    return min(tb, 128, batch)
+    return max(1, min(tb, 512, batch))
 
 
-def _fused_kernel(p, q, precision, xr_ref, xi_ref, wp_ref, wq_ref, twr_ref,
-                  twi_ref, or_ref, oi_ref):
-    # Mosaic cannot split/merge the lane (last) dim, so tiles arrive already
-    # shaped (tb, p, q) and leave shaped (tb, q, p); only leading-dim merges
-    # and last-two-dim transposes happen in VMEM (both supported shape casts).
+def _split_bf16(w: np.ndarray):
+    """Split an f32 matrix into (hi, lo) bf16 parts with w ~= hi + lo."""
+    hi = w.astype(np.float32).astype(jnp.bfloat16)
+    lo = (w.astype(np.float32) - np.asarray(hi).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    return np.asarray(hi), np.asarray(lo)
+
+
+def _dot3(x: jnp.ndarray, w_hi, w_lo, dims):
+    """bf16x3 contraction: f32-grade accuracy from three bf16 MXU passes.
+
+    x = x_hi + x_lo (exact bf16 split); w arrives pre-split host-side.
+    x @ w ~= x_hi@w_hi + x_hi@w_lo + x_lo@w_hi — the dropped lo@lo term is
+    O(2^-16) relative.  This is the manual version of XLA's HIGHEST f32
+    emulation at half the passes (Mosaic rejects Precision.HIGH in-kernel).
+    """
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    kw = dict(preferred_element_type=jnp.float32)
+    return (
+        jax.lax.dot_general(x_hi, w_hi, dims, **kw)
+        + jax.lax.dot_general(x_hi, w_lo, dims, **kw)
+        + jax.lax.dot_general(x_lo, w_hi, dims, **kw)
+    )
+
+
+def _fused_kernel(p, q, precision, variant, xr_ref, xi_ref, wp_hi_ref,
+                  wp_lo_ref, wq_hi_ref, wq_lo_ref, twr_ref, twi_ref,
+                  or_ref, oi_ref):
+    """One batch tile: (tb, p, q) [j1, j2] -> (tb, q, p) [k2, k1] natural order.
+
+    wp/wq: block_mid DFT blocks (2f, 2f), each as a (hi, lo) pair — bf16
+    splits for precision='bf16x3', (f32, unused-zeros) otherwise.
+    twr/twi: inter-stage twiddle w_n^(k1*j2) as (q, p) tables.
+    """
     tb = xr_ref.shape[0]
-    xr = xr_ref[:]
-    xi = xi_ref[:]
+    sub_dims = (((1,), (1,)), ((), ()))
 
-    # stage 1: DFT_p over j1 (right-mult after a VMEM transpose)
-    t1r = jnp.swapaxes(xr, -1, -2).reshape(tb * q, p)  # [j2, j1]
-    t1i = jnp.swapaxes(xi, -1, -2).reshape(tb * q, p)
-    xs = jnp.concatenate([t1r, t1i], axis=-1)  # (tb*q, 2p)
-    a = jnp.dot(xs, wp_ref[:], preferred_element_type=jnp.float32,
-                precision=precision)
-    ar = a[:, :p].reshape(tb, q, p)  # [j2, k1]
-    ai = a[:, p:].reshape(tb, q, p)
+    def contract(x, w_hi_ref, w_lo_ref):
+        if precision == "bf16x3":
+            return _dot3(x, w_hi_ref[:], w_lo_ref[:], sub_dims)
+        return jax.lax.dot_general(
+            x, w_hi_ref[:], sub_dims,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
 
-    # inter-stage twiddle w_n^(k1*j2), table transposed to [j2, k1]
+    # stage 1: DFT_p over the sublane (j1) axis.  dot_general contracts the
+    # rhs sublane dim natively on the MXU: a[b, k, j2] = sum_j wp[k, j] x[b, j, j2]
+    xb = jnp.concatenate([xr_ref[:], xi_ref[:]], axis=1)  # (tb, 2p, q)
+    a = contract(xb, wp_hi_ref, wp_lo_ref)  # (tb, q, 2p): [j2 sub, k1 lanes]
+
+    ar = a[:, :, :p]
+    ai = a[:, :, p:]
+
+    # inter-stage twiddle w_n^(k1*j2); tables arrive as (q, p) = [j2, k1]
     twr = twr_ref[:]
     twi = twi_ref[:]
     br = ar * twr - ai * twi
-    bi = ar * twi + ai * twr
+    bi = ar * twi + ai * twr  # (tb, q, p) [j2, k1]
 
-    # stage 2: DFT_q over j2
-    cr = jnp.swapaxes(br, -1, -2).reshape(tb * p, q)  # [k1, j2]
-    ci = jnp.swapaxes(bi, -1, -2).reshape(tb * p, q)
-    cs = jnp.concatenate([cr, ci], axis=-1)  # (tb*p, 2q)
-    d = jnp.dot(cs, wq_ref[:], preferred_element_type=jnp.float32,
-                precision=precision)
-    dr = d[:, :q].reshape(tb, p, q)  # [k1, k2]
-    di = d[:, q:].reshape(tb, p, q)
+    # stage 2: DFT_q over the j2 axis, now in sublanes: contract it the same
+    # way.  d[b, k1, k2] = sum_j2 wq[k2, j2] b[b, j2, k1]
+    bb = jnp.concatenate([br, bi], axis=1)  # (tb, 2q, p)
+    d = contract(bb, wq_hi_ref, wq_lo_ref)  # (tb, p, 2q): [k1 sub, k2 lanes]
 
-    # natural order k = k2*p + k1: emit (tb, q, p); caller flattens to (tb, n)
-    or_ref[:] = jnp.swapaxes(dr, -1, -2)
-    oi_ref[:] = jnp.swapaxes(di, -1, -2)
+    dr = d[:, :, :q]
+    di = d[:, :, q:]
+
+    if variant == "transpose_in_kernel":
+        # natural order k = k2*p + k1: emit (tb, q, p)
+        or_ref[:] = jnp.swapaxes(dr, -1, -2)
+        oi_ref[:] = jnp.swapaxes(di, -1, -2)
+    else:  # "transpose_outside": emit [k1, k2]; caller transposes in XLA
+        or_ref[:] = dr
+        oi_ref[:] = di
 
 
 def make_fused_two_stage_fn(
@@ -123,6 +190,9 @@ def make_fused_two_stage_fn(
     dtype,
     split: Optional[Tuple[int, int]] = None,
     interpret: bool = False,
+    precision=None,
+    variant: str = "transpose_in_kernel",
+    batch_tile: Optional[int] = None,
 ) -> Callable:
     """Return fn: Cplx (..., n) -> Cplx (..., n) running the fused kernel."""
     assert np.dtype(dtype) == np.complex64, "fused kernel is c64/f32 only"
@@ -130,45 +200,64 @@ def make_fused_two_stage_fn(
     assert pq is not None, f"no fused split for n={n}"
     p, q = pq
     rdt = np.float32
+    if precision is None:
+        precision = config.pallas_precision
 
-    wp = calg.block_last(twiddles.dft_matrix(p, direction), rdt)  # (2p, 2p)
-    wq = calg.block_last(twiddles.dft_matrix(q, direction), rdt)  # (2q, 2q)
-    tw = twiddles.twiddle_table(p, q, direction).T  # [j2, k1]
+    # Both stages contract the sublane axis against a block_mid DFT block
+    # ([[Wr,-Wi],[Wi,Wr]]): stage 1 for DFT_p, stage 2 for DFT_q.
+    wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)  # (2p, 2p)
+    wq = calg.block_mid(twiddles.dft_matrix(q, direction), rdt)  # (2q, 2q)
+    if precision == "bf16x3":
+        wp_hi, wp_lo = _split_bf16(wp)
+        wq_hi, wq_lo = _split_bf16(wq)
+    else:
+        # lo halves unused; keep them tiny-typed to save VMEM
+        wp_hi, wp_lo = wp, np.zeros_like(wp, dtype=jnp.bfloat16)
+        wq_hi, wq_lo = wq, np.zeros_like(wq, dtype=jnp.bfloat16)
+    tw = twiddles.twiddle_table(p, q, direction).T  # (q, p) = [j2, k1]
     twr = np.ascontiguousarray(tw.real).astype(rdt)
     twi = np.ascontiguousarray(tw.imag).astype(rdt)
 
-    kernel = functools.partial(_fused_kernel, p, q, config.matmul_precision)
+    kernel = functools.partial(_fused_kernel, p, q, precision, variant)
+    transpose_in_kernel = variant == "transpose_in_kernel"
 
     def call(xr, xi, tb):
         batch = xr.shape[0]
         grid = batch // tb
+        out_block = (tb, q, p) if transpose_in_kernel else (tb, p, q)
         in_bspec = pl.BlockSpec((tb, p, q), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        out_bspec = pl.BlockSpec((tb, q, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        out_bspec = pl.BlockSpec(out_block, lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+        def const_spec(w):
+            return pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
         out_r, out_i = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[
-                in_bspec,
-                in_bspec,
-                pl.BlockSpec((2 * p, 2 * p), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((2 * q, 2 * q), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((q, p), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((q, p), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ],
+            in_specs=[in_bspec, in_bspec]
+            + [const_spec(w) for w in (wp_hi, wp_lo, wq_hi, wq_lo, twr, twi)],
             out_specs=[out_bspec, out_bspec],
             out_shape=[
-                jax.ShapeDtypeStruct((batch, q, p), jnp.float32),
-                jax.ShapeDtypeStruct((batch, q, p), jnp.float32),
+                jax.ShapeDtypeStruct((batch,) + out_block[1:], jnp.float32),
+                jax.ShapeDtypeStruct((batch,) + out_block[1:], jnp.float32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=config.pallas_vmem_limit
+            ),
             interpret=interpret,
         )(
             xr.reshape(batch, p, q),
             xi.reshape(batch, p, q),
-            jnp.asarray(wp),
-            jnp.asarray(wq),
+            jnp.asarray(wp_hi),
+            jnp.asarray(wp_lo),
+            jnp.asarray(wq_hi),
+            jnp.asarray(wq_lo),
             jnp.asarray(twr),
             jnp.asarray(twi),
         )
+        if not transpose_in_kernel:
+            out_r = jnp.swapaxes(out_r, -1, -2)
+            out_i = jnp.swapaxes(out_i, -1, -2)
         return out_r.reshape(batch, n), out_i.reshape(batch, n)
 
     def apply(x):
@@ -177,7 +266,7 @@ def make_fused_two_stage_fn(
         flat_r = xr.reshape(-1, n)
         flat_i = xi.reshape(-1, n)
         batch = flat_r.shape[0]
-        tb = _pick_batch_tile(batch, n)
+        tb = batch_tile or _pick_batch_tile(batch, p, q)
         pad = (-batch) % tb
         if pad:
             flat_r = jnp.pad(flat_r, ((0, pad), (0, 0)))

@@ -277,8 +277,11 @@ class FftPlannerTpu(_PlannerBase):
     * n <= config.dense_dft_max: one dense DFT-matrix matmul (single fused
       pass; the MXU makes O(n^2) cheaper than multi-stage O(n log n) at these
       sizes).
-    * composite n: balanced split n = p*q with a dense-matmul left factor
-      where possible — each level is one matmul + fused twiddle + transpose.
+    * composite n: near-balanced split n = p*q (largest divisor <= sqrt(n)),
+      recursing on both halves — each level is one matmul/fused-kernel stage
+      + twiddle + transpose, and on TPU backends the executor swaps any
+      subtree whose length fits VMEM for the single-pass fused Pallas kernel
+      (ops/pallas/fused.py).
     * prime n: same Rader's-vs-Bluestein's rule as the reference (the
       number theory doesn't change), but Bluestein inner sizes prefer
       2^a or 3*2^a, which stay on the fast pow2 path.
@@ -296,31 +299,26 @@ class FftPlannerTpu(_PlannerBase):
     def _design_composite(
         self, length: int, factors: PrimeFactors
     ) -> recipes.Recipe:
-        # Pick p = the largest divisor <= dense_dft_max that keeps q = n/p as
-        # smooth as possible; prefer balanced splits for very large n so the
-        # recursion depth (= passes over HBM) stays minimal.
+        # Near-balanced split p*q, p <= q.  Balance keeps both einsum /
+        # fused-kernel stages MXU-shaped (neither factor degenerates into a
+        # tiny contraction) and the recursion depth — i.e. passes over HBM —
+        # at ceil(log_base(n)) of the dense-DFT leaf size.
         p = self._choose_left_factor(length)
-        if p is None:
-            # No divisor <= dense_dft_max (e.g. product of two large primes):
-            # fall back to the partitioned mixed radix like the reference.
-            left_factors, right_factors = factors.partition_factors()
-            left = self.design_fft_for_len(left_factors.get_product())
-            right = self.design_fft_for_len(right_factors.get_product())
-            return recipes.MixedRadix(left, right)
         q = length // p
         left = self.design_fft_for_len(p)
         right = self.design_fft_for_len(q)
         return recipes.MixedRadix(left, right)
 
-    def _choose_left_factor(self, length: int) -> Optional[int]:
-        limit = min(config.dense_dft_max, length - 1)
-        # search downward from min(limit, ceil(sqrt)) upscaled: prefer the
-        # largest factor <= limit to minimize recursion depth on q.
+    def _choose_left_factor(self, length: int) -> int:
+        # Largest divisor <= sqrt(n); composite n always has one in
+        # [2, sqrt(n)] (its smallest prime factor).
+        target = math.isqrt(length)
         best = None
-        for p in range(limit, 1, -1):
+        for p in range(target, 1, -1):
             if length % p == 0:
                 best = p
                 break
+        assert best is not None, length
         return best
 
     def _design_prime(self, length: int) -> recipes.Recipe:
