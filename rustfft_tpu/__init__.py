@@ -34,7 +34,7 @@ from .planner import (  # noqa: F401
     FftPlannerScalar,
     FftPlannerTpu,
 )
-from . import math_utils, recipes, twiddles  # noqa: F401
+from . import algorithm, math_utils, recipes, twiddles  # noqa: F401
 
 __version__ = "0.1.0"
 
@@ -50,6 +50,7 @@ __all__ = [
     "FftPlanner",
     "FftPlannerScalar",
     "FftPlannerTpu",
+    "algorithm",
     "math_utils",
     "recipes",
     "twiddles",

@@ -64,18 +64,23 @@ def _pallas_mode() -> str:
 
 
 def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[Callable]:
-    """Fused whole-transform Pallas kernel when the routing rules allow it."""
+    """Fused whole-transform Pallas kernel when the routing rules allow it.
+
+    Single-pass VMEM-resident kernel for mid sizes; the two-kernel pipeline
+    (ops/pallas/large.py) for sizes beyond VMEM.
+    """
     if mode == "off":
         return None
-    from .ops.pallas import fused
+    from .ops.pallas import fused, large
 
-    if not fused.fused_supported(n, dtype):
-        return None
+    interpret = mode == "interpret"
     if mode == "tpu" and n < config.pallas_min_n:
         return None
-    return fused.make_fused_two_stage_fn(
-        n, direction, dtype, interpret=(mode == "interpret")
-    )
+    if fused.fused_supported(n, dtype):
+        return fused.make_fused_two_stage_fn(n, direction, dtype, interpret=interpret)
+    if large.large_supported(n, dtype):
+        return large.make_large_fft_fn(n, direction, dtype, interpret=interpret)
+    return None
 
 
 def _is_matrix_leaf(recipe: recipes.Recipe) -> bool:

@@ -103,7 +103,9 @@ def _pick_batch_tile(batch: int, p: int, q: int) -> int:
     per_row = 16 * 4 * n
     tb = max(1, budget // per_row)
     tb = 1 << (tb.bit_length() - 1)  # floor to a power of two
-    return max(1, min(tb, 512, batch))
+    # cap: tiles beyond 128 rows gain nothing (grid-step overhead is already
+    # amortized) and very large tiles have failed Mosaic compiles
+    return max(1, min(tb, 128, batch))
 
 
 def _split_bf16(w: np.ndarray):
@@ -167,11 +169,33 @@ def _fused_kernel(p, q, precision, variant, xr_ref, xi_ref, wp_hi_ref,
     br = ar * twr - ai * twi
     bi = ar * twi + ai * twr  # (tb, q, p) [j2, k1]
 
-    # stage 2: DFT_q over the j2 axis, now in sublanes: contract it the same
-    # way.  d[b, k1, k2] = sum_j2 wq[k2, j2] b[b, j2, k1]
+    # stage 2: DFT_q over the j2 axis, now in sublanes
     bb = jnp.concatenate([br, bi], axis=1)  # (tb, 2q, p)
-    d = contract(bb, wq_hi_ref, wq_lo_ref)  # (tb, p, 2q): [k1 sub, k2 lanes]
+    if variant == "wlhs":
+        # weights-as-lhs keeps the lane axis (k1) untouched; output arrives
+        # (2q, tb, p) [k2, b, k1] and a lane-preserving leading permute puts
+        # it in natural order — no lane<->sublane transpose anywhere.
+        if precision == "bf16x3":
+            b_hi = bb.astype(jnp.bfloat16)
+            b_lo = (bb - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            kw = dict(preferred_element_type=jnp.float32)
+            dims = (((1,), (1,)), ((), ()))
+            d = (
+                jax.lax.dot_general(wq_hi_ref[:], b_hi, dims, **kw)
+                + jax.lax.dot_general(wq_lo_ref[:], b_hi, dims, **kw)
+                + jax.lax.dot_general(wq_hi_ref[:], b_lo, dims, **kw)
+            )
+        else:
+            d = jax.lax.dot_general(
+                wq_hi_ref[:], bb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+        d = jnp.transpose(d, (1, 0, 2))  # (tb, 2q, p) [b, k2, k1]
+        or_ref[:] = d[:, :q, :]
+        oi_ref[:] = d[:, q:, :]
+        return
 
+    d = contract(bb, wq_hi_ref, wq_lo_ref)  # (tb, p, 2q): [k1 sub, k2 lanes]
     dr = d[:, :, :q]
     di = d[:, :, q:]
 
@@ -191,7 +215,7 @@ def make_fused_two_stage_fn(
     split: Optional[Tuple[int, int]] = None,
     interpret: bool = False,
     precision=None,
-    variant: str = "transpose_in_kernel",
+    variant: Optional[str] = None,
     batch_tile: Optional[int] = None,
 ) -> Callable:
     """Return fn: Cplx (..., n) -> Cplx (..., n) running the fused kernel."""
@@ -199,6 +223,11 @@ def make_fused_two_stage_fn(
     pq = split or _choose_pq(n)
     assert pq is not None, f"no fused split for n={n}"
     p, q = pq
+    if variant is None:
+        # measured on v5e: the in-kernel lane transpose only compiles/wins
+        # when the output lane dim p fills the 128-wide VPU; otherwise let
+        # XLA do the final (batch, p, q) -> (batch, q, p) transpose.
+        variant = "transpose_in_kernel" if p >= 128 else "transpose_outside"
     rdt = np.float32
     if precision is None:
         precision = config.pallas_precision
@@ -219,7 +248,8 @@ def make_fused_two_stage_fn(
     twi = np.ascontiguousarray(tw.imag).astype(rdt)
 
     kernel = functools.partial(_fused_kernel, p, q, precision, variant)
-    transpose_in_kernel = variant == "transpose_in_kernel"
+    # "wlhs" and "transpose_in_kernel" both emit natural-order (tb, q, p)
+    transpose_in_kernel = variant != "transpose_outside"
 
     def call(xr, xi, tb):
         batch = xr.shape[0]

@@ -1,0 +1,324 @@
+"""Large-N FFT as two Pallas kernels: 2 HBM passes for n up to ~2^32.
+
+For n = P*Q beyond what a single VMEM-resident kernel can hold
+(ops/pallas/fused.py), the Cooley-Tukey split (ops/ct.py derivation, the
+reference's MixedRadix six-step, mixed_radix.rs:128-158) is executed as two
+column/row kernels with all transposes absorbed into block layouts and GEMM
+output orders — no standalone XLA transpose passes:
+
+  kernel A ("column stage"): x (B, P, Q) [j1, j2]
+      per (Q-tile, batch) grid step: contract the sublane j1 axis against
+      the dense 2P x 2P block DFT matrix (MXU) and multiply by the streamed
+      outer twiddle w_n^(k1*j2) (VPU).  The dot_general output order
+      (tile, k1-lanes) lands directly in the (B, Q, P) layout kernel B wants.
+  kernel B ("row stage"): a (B, Q, P) [j2, k1]
+      per (P-tile, batch) grid step: FFT of length Q over the *sublane* axis
+      via an internal two-stage q1 x q2 decomposition; both stages contract
+      with weights-as-lhs dot_generals whose output orders make the result
+      come out flat in natural order [k2, k1] — again no transposes.
+
+Output (B, Q, P) reshaped to (B, n) is X[k2*P + k1]: ascending frequency.
+
+Total HBM traffic: read + write per kernel = 2 passes over the signal, vs
+~6 for the XLA six-step (3 transposes each costing a read+write).  MXU work
+is 24*(P + q1 + q2) bf16-flops/element at the default bf16x3 precision —
+pick P, q1, q2 to hold that near the 2-pass memory bound.
+
+Twiddle precision: all tables computed host-side in f64 (twiddles.py), cast
+to f32; the streamed outer table is (Q, P) f32 in HBM, fetched once per
+Q-tile (the batch loop is the fast grid axis, so Mosaic never refetches).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...common import FftDirection
+from ...config import config
+from ... import twiddles
+from .. import calg
+from .fused import _split_bf16, _dot3
+
+
+def _contract(x, w_hi, w_lo, dims, precision):
+    if precision == "bf16x3":
+        return _dot3(x, w_hi, w_lo, dims)
+    return jax.lax.dot_general(
+        x, w_hi, dims, preferred_element_type=jnp.float32, precision=precision
+    )
+
+
+def _kernel_a(p, qt, precision, xr_ref, xi_ref, wp_hi_ref, wp_lo_ref,
+              twr_ref, twi_ref, or_ref, oi_ref):
+    """Column stage: (1, P, qt) [j1, j2] -> (1, qt, P) [j2, k1], twiddled."""
+    xb = jnp.concatenate([xr_ref[:], xi_ref[:]], axis=1)  # (1, 2P, qt)
+    # contract the sublane j1 axis; output order = (1, qt, 2P): [j2, k1]
+    a = _contract(
+        xb, wp_hi_ref[:], wp_lo_ref[:], (((1,), (1,)), ((), ())), precision
+    )
+    ar = a[:, :, :p]
+    ai = a[:, :, p:]
+    twr = twr_ref[:]  # (qt, P) block of the (Q, P) outer twiddle table
+    twi = twi_ref[:]
+    or_ref[:] = ar * twr - ai * twi
+    oi_ref[:] = ar * twi + ai * twr
+
+
+def _kernel_b(q1, q2, pt, precision, variant, xr_ref, xi_ref, w1_hi_ref,
+              w1_lo_ref, w2_hi_ref, w2_lo_ref, twr_ref, twi_ref,
+              or_ref, oi_ref):
+    """Row stage: (1, Q, pt) [j2, k1] -> (1, Q, pt) [k2, k1] natural order.
+
+    FFT of length Q = q1*q2 over the sublane axis, lanes untouched.
+    """
+    xr = xr_ref[:].reshape(q1, q2, pt)  # [ja, jb, k1]
+    xi = xi_ref[:].reshape(q1, q2, pt)
+
+    def wlhs(w_hi_ref, w_lo_ref, x, rhs_dim):
+        """Weights-as-lhs contraction: out[k, ...] = sum_j w[k, j] x[..j..].
+
+        Output order = (lhs free = k) + (rhs free dims) — the k axis lands
+        leading and the lane axis is untouched, so no relayout is needed.
+        """
+        dims = (((1,), (rhs_dim,)), ((), ()))
+        if precision == "bf16x3":
+            w_hi, w_lo = w_hi_ref[:], w_lo_ref[:]
+            x_hi = x.astype(jnp.bfloat16)
+            x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            kw = dict(preferred_element_type=jnp.float32)
+            return (
+                jax.lax.dot_general(w_hi, x_hi, dims, **kw)
+                + jax.lax.dot_general(w_lo, x_hi, dims, **kw)
+                + jax.lax.dot_general(w_hi, x_lo, dims, **kw)
+            )
+        return jax.lax.dot_general(
+            w_hi_ref[:], x, dims,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    # stage 1: DFT_q1 over ja
+    if variant == "wlhs":
+        xb = jnp.concatenate([xr, xi], axis=0)  # (2q1, q2, pt)
+        a = wlhs(w1_hi_ref, w1_lo_ref, xb, 0)  # (2q1, q2, pt) [ka, jb, k1]
+    else:  # "swap": make ja the sublane dim, contract rhs-style, fix order
+        s_r = jnp.swapaxes(xr, 0, 1)  # (q2, q1, pt)
+        s_i = jnp.swapaxes(xi, 0, 1)
+        sb = jnp.concatenate([s_r, s_i], axis=1)  # (q2, 2q1, pt)
+        a = _contract(
+            sb, w1_hi_ref[:], w1_lo_ref[:], (((1,), (1,)), ((), ())), precision
+        )  # (q2, pt, 2q1)
+        a = jnp.moveaxis(a, -1, 0)  # (2q1, q2, pt) [ka, jb, k1]
+
+    ar = a[:q1]
+    ai = a[q1:]
+
+    # inner twiddle w_Q^(ka*jb), tables (q1, q2, 1) broadcast over lanes
+    twr = twr_ref[:].reshape(q1, q2, 1)
+    twi = twi_ref[:].reshape(q1, q2, 1)
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr  # (q1, q2, pt) [ka, jb, k1]
+
+    # stage 2: DFT_q2 over jb
+    bb = jnp.concatenate([br, bi], axis=1)  # (q1, 2q2, pt)
+    if variant == "wlhs":
+        d = wlhs(w2_hi_ref, w2_lo_ref, bb, 1)  # (2q2, q1, pt) [kb, ka, k1]
+    else:
+        d = _contract(
+            bb, w2_hi_ref[:], w2_lo_ref[:], (((1,), (1,)), ((), ())), precision
+        )  # (q1, pt, 2q2)
+        d = jnp.moveaxis(d, -1, 0)  # (2q2, q1, pt) [kb, ka, k1]
+    dr = d[:q2]
+    di = d[q2:]
+
+    # flat index kb*q1 + ka = natural order within Q
+    or_ref[:] = dr.reshape(1, q1 * q2, pt)
+    oi_ref[:] = di.reshape(1, q1 * q2, pt)
+
+
+def choose_pqq(n: int) -> Optional[Tuple[int, int, int]]:
+    """Pick n = P * (q1*q2) minimizing MXU work with VMEM-feasible tiles."""
+    best = None
+    for p in range(8, 513):
+        if n % p:
+            continue
+        rest = n // p
+        if rest < 4:
+            continue
+        # split rest = q1*q2 as balanced as possible, both <= 256
+        inner = None
+        for q1 in range(2, 257):
+            if rest % q1:
+                continue
+            q2 = rest // q1
+            if q2 > 256:
+                continue
+            key = (q1 + q2, abs(q1 - q2))
+            if inner is None or key < inner[0]:
+                inner = (key, q1, q2)
+        if inner is None:
+            continue
+        _, q1, q2 = inner
+        # kernel-B block: (Q, pt=128) f32 pair x ~8 live copies
+        q = q1 * q2
+        if 8 * q * 128 * 4 > int(config.pallas_vmem_limit * 0.85):
+            continue
+        work = p + q1 + q2  # bf16 passes per element / 24
+        key = (work, abs(p * p - n) )  # prefer balanced P vs Q
+        if best is None or key < best[0]:
+            best = (key, p, q1, q2)
+    if best is None:
+        return None
+    _, p, q1, q2 = best
+    return p, q1, q2
+
+
+def large_supported(n: int, dtype) -> bool:
+    if np.dtype(dtype) != np.complex64:
+        return False
+    return choose_pqq(n) is not None
+
+
+def make_large_fft_fn(
+    n: int,
+    direction: FftDirection,
+    dtype,
+    split: Optional[Tuple[int, int, int]] = None,
+    interpret: bool = False,
+    precision=None,
+    qt: int = 512,
+    pt: int = 128,
+    variant: str = "swap",
+) -> Callable:
+    """Return fn: Cplx (..., n) -> Cplx (..., n), the two-kernel pipeline."""
+    assert np.dtype(dtype) == np.complex64, "large kernel is c64/f32 only"
+    pqq = split or choose_pqq(n)
+    assert pqq is not None, f"no large split for n={n}"
+    p, q1, q2 = pqq
+    q = q1 * q2
+    assert p * q == n
+    if precision is None:
+        precision = config.pallas_precision
+    rdt = np.float32
+
+    qt = min(qt, q)
+    while q % qt:
+        qt //= 2
+    pt_eff = min(pt, p)
+    while p % pt_eff:
+        pt_eff //= 2
+    pt = pt_eff
+
+    # kernel A constants
+    wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)  # (2P, 2P)
+    # outer twiddle table, stored transposed (Q, P) = [j2, k1]
+    tw_outer = twiddles.twiddle_table(p, q, direction).T
+    twr_o = np.ascontiguousarray(tw_outer.real).astype(rdt)
+    twi_o = np.ascontiguousarray(tw_outer.imag).astype(rdt)
+
+    # kernel B constants
+    w1 = calg.block_mid(twiddles.dft_matrix(q1, direction), rdt)
+    w2 = calg.block_mid(twiddles.dft_matrix(q2, direction), rdt)
+    tw_inner = twiddles.twiddle_table(q1, q2, direction)  # (q1, q2) [ka, jb]
+    twr_i = np.ascontiguousarray(tw_inner.real).astype(rdt)
+    twi_i = np.ascontiguousarray(tw_inner.imag).astype(rdt)
+
+    if precision == "bf16x3":
+        wp_hi, wp_lo = _split_bf16(wp)
+        w1_hi, w1_lo = _split_bf16(w1)
+        w2_hi, w2_lo = _split_bf16(w2)
+    else:
+        zeros = lambda w: np.zeros_like(w, dtype=jnp.bfloat16)
+        wp_hi, wp_lo = wp, zeros(wp)
+        w1_hi, w1_lo = w1, zeros(w1)
+        w2_hi, w2_lo = w2, zeros(w2)
+
+    kernel_a = functools.partial(_kernel_a, p, qt, precision)
+    kernel_b = functools.partial(_kernel_b, q1, q2, pt, precision, variant)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=config.pallas_vmem_limit)
+
+    def const_spec(w, ndim=2):
+        return pl.BlockSpec(w.shape, lambda *_: (0,) * ndim, memory_space=pltpu.VMEM)
+
+    def call(xr, xi):
+        batch = xr.shape[0]
+
+        # ---- kernel A: (B, P, Q) -> (B, Q, P), twiddled ----
+        a_r, a_i = pl.pallas_call(
+            kernel_a,
+            grid=(q // qt, batch),  # batch fastest: twiddle block stays put
+            in_specs=[
+                pl.BlockSpec((1, p, qt), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p, qt), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
+                const_spec(wp_hi),
+                const_spec(wp_lo),
+                pl.BlockSpec((qt, p), lambda qi, b: (qi, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((qt, p), lambda qi, b: (qi, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, qt, p), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, qt, p), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((batch, q, p), jnp.float32),
+                jax.ShapeDtypeStruct((batch, q, p), jnp.float32),
+            ],
+            compiler_params=cparams,
+            interpret=interpret,
+        )(
+            xr.reshape(batch, p, q),
+            xi.reshape(batch, p, q),
+            jnp.asarray(wp_hi),
+            jnp.asarray(wp_lo),
+            jnp.asarray(twr_o),
+            jnp.asarray(twi_o),
+        )
+
+        # ---- kernel B: FFT_Q over sublanes of (B, Q, P) ----
+        out_r, out_i = pl.pallas_call(
+            kernel_b,
+            grid=(p // pt, batch),
+            in_specs=[
+                pl.BlockSpec((1, q, pt), lambda pi, b: (b, 0, pi), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q, pt), lambda pi, b: (b, 0, pi), memory_space=pltpu.VMEM),
+                const_spec(w1_hi),
+                const_spec(w1_lo),
+                const_spec(w2_hi),
+                const_spec(w2_lo),
+                const_spec(twr_i),
+                const_spec(twi_i),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, q, pt), lambda pi, b: (b, 0, pi), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q, pt), lambda pi, b: (b, 0, pi), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((batch, q, p), jnp.float32),
+                jax.ShapeDtypeStruct((batch, q, p), jnp.float32),
+            ],
+            compiler_params=cparams,
+            interpret=interpret,
+        )(
+            a_r,
+            a_i,
+            jnp.asarray(w1_hi),
+            jnp.asarray(w1_lo),
+            jnp.asarray(w2_hi),
+            jnp.asarray(w2_lo),
+            jnp.asarray(twr_i),
+            jnp.asarray(twi_i),
+        )
+        return out_r.reshape(batch, n), out_i.reshape(batch, n)
+
+    def apply(x):
+        xr, xi = x
+        shape = xr.shape
+        out_r, out_i = call(xr.reshape(-1, n), xi.reshape(-1, n))
+        return out_r.reshape(shape), out_i.reshape(shape)
+
+    return apply

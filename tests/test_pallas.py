@@ -53,6 +53,24 @@ def test_fused_unsupported_sizes():
     assert not fused.fused_supported(64, np.complex128)  # c64-only kernel
 
 
+def test_large_pipeline_matches_oracle():
+    """Two-kernel large-N pipeline (ops/pallas/large.py), interpret mode."""
+    from rustfft_tpu.ops.pallas import large
+
+    n = 32768  # P * q1*q2 with every stage exercised
+    assert large.large_supported(n, np.complex64)
+    for direction in (FftDirection.FORWARD, FftDirection.INVERSE):
+        for variant in ("wlhs", "swap"):
+            fn = large.make_large_fft_fn(
+                n, direction, np.complex64, interpret=True, variant=variant
+            )
+            sig = random_signal(2 * n, dtype=np.complex64, seed=7).reshape(2, n)
+            o_r, o_i = fn((sig.real, sig.imag))
+            out = np.asarray(o_r) + 1j * np.asarray(o_i)
+            err = mean_element_error(out, oracle_dft(sig, direction))
+            assert err < 1e-2, (direction, variant, err)
+
+
 def test_executor_routes_through_fused(monkeypatch):
     """use_pallas='on' must produce identical results through the planner."""
     monkeypatch.setattr(config, "use_pallas", "on")

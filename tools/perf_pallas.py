@@ -16,9 +16,11 @@ def timed(fn, args, iters=8):
 
     @jax.jit
     def many(x):
+        # chain without any per-iteration scaling (a scale would add a full
+        # elementwise HBM pass); callers pass tiny inputs so the unnormalized
+        # growth (~n^(iters/2)) stays finite in f32.
         def body(i, x):
-            r, m = fn(x)
-            return (r * np.float32(1e-3), m * np.float32(1e-3))
+            return fn(x)
 
         x = jax.lax.fori_loop(0, iters, body, x)
         return x[0].sum() + x[1].sum()
@@ -60,8 +62,8 @@ def main():
 
     for n in sizes:
         batch = max(1, (1 << 26) // n)
-        re = jax.device_put(rng.standard_normal((batch, n)).astype(np.float32))
-        im = jax.device_put(rng.standard_normal((batch, n)).astype(np.float32))
+        re = jax.device_put((rng.standard_normal((batch, n)) * 1e-30).astype(np.float32))
+        im = jax.device_put((rng.standard_normal((batch, n)) * 1e-30).astype(np.float32))
         gf = lambda t: 5.0 * batch * n * math.log2(n) / t / 1e9
         gbs = lambda t: 2 * 8 * batch * n / t / 1e9  # read+write c64 bytes
 
@@ -80,7 +82,6 @@ def main():
         combos = [
             ("transpose_in_kernel", "bf16x3", None),
             ("transpose_outside", "bf16x3", None),
-            ("transpose_outside", P.HIGHEST, None),
             ("transpose_outside", P.DEFAULT, None),
         ]
         for variant, prec, tb in combos:
