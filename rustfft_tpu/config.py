@@ -40,8 +40,8 @@ class FftConfig:
     #: Smallest transform the fused Pallas kernel takes over from the XLA
     #: path ("auto" mode).  Below this, a single dense-DFT matmul that XLA
     #: fuses with neighboring ops wins over a separate kernel launch
-    #: (measured crossover on v5e: XLA wins at 1024, fused wins at 4096).
-    pallas_min_n: int = 2048
+    #: (measured crossover on v5e: XLA wins at <= 2048, fused wins at 4096).
+    pallas_min_n: int = 4096
 
     #: MXU precision inside Pallas kernels.  "bf16x3" = manual 3-pass bf16
     #: emulation (f32-grade accuracy at half the passes of HIGHEST, which
