@@ -26,7 +26,11 @@ from .common import (  # noqa: F401
     Forward,
     Inverse,
 )
-from .config import FftConfig, config  # noqa: F401
+from .config import (  # noqa: F401
+    FftConfig,
+    config,
+    enable_persistent_compilation_cache,
+)
 from .plan import FftPlan  # noqa: F401
 from .planner import (  # noqa: F401
     FftCache,
@@ -45,6 +49,7 @@ __all__ = [
     "Inverse",
     "FftConfig",
     "config",
+    "enable_persistent_compilation_cache",
     "FftPlan",
     "FftCache",
     "FftPlanner",

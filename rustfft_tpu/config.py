@@ -57,3 +57,20 @@ class FftConfig:
 
 #: Module-level config; mutate fields or swap wholesale to retune.
 config = FftConfig()
+
+
+def enable_persistent_compilation_cache(path: str = "~/.cache/rustfft_tpu_xla") -> None:
+    """Persist compiled executables across processes.
+
+    The planner's recipe/plan caches (the analogue of the reference's
+    FftCache, fft_cache.rs:5-39) live per process; the expensive part on TPU
+    is XLA compilation, and this enables JAX's on-disk compilation cache so
+    a plan compiled once is reused by every later process — the closest
+    TPU analogue of "checkpoint/resume" for plan setup (SURVEY.md §5).
+    """
+    import os
+
+    path = os.path.expanduser(path)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

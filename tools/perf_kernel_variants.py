@@ -70,6 +70,39 @@ def main():
             or_ref[b] = d[:, :q].T
             oi_ref[b] = d[:, q:].T
 
+    def k_copy(xr_ref, xi_ref, wp_ref, wq_ref, twr_ref, twi_ref, or_ref, oi_ref):
+        # pure stream: pallas's own HBM ceiling (out shape (tb, q, p), p==q)
+        or_ref[:] = xr_ref[:]
+        oi_ref[:] = xi_ref[:]
+
+    def k_copy_t(xr_ref, xi_ref, wp_ref, wq_ref, twr_ref, twi_ref, or_ref, oi_ref):
+        # stream + one VMEM lane<->sublane transpose
+        or_ref[:] = jnp.swapaxes(xr_ref[:], -1, -2)
+        oi_ref[:] = jnp.swapaxes(xi_ref[:], -1, -2)
+
+    def k_no_t(xr_ref, xi_ref, wp_ref, wq_ref, twr_ref, twi_ref, or_ref, oi_ref):
+        # both GEMMs + twiddle, no output transpose (out [k1, k2] order)
+        xb = jnp.concatenate([xr_ref[:], xi_ref[:]], axis=1)
+        a = jax.lax.dot_general(xb, wp_ref[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32, precision=P)
+        ar, ai = a[:, :, :p], a[:, :, p:]
+        br = ar * twr_ref[:] - ai * twi_ref[:]
+        bi = ar * twi_ref[:] + ai * twr_ref[:]
+        bb = jnp.concatenate([br, bi], axis=1)
+        d = jax.lax.dot_general(bb, wq_ref[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32, precision=P)
+        or_ref[:] = d[:, :, :q]
+        oi_ref[:] = d[:, :, q:]
+
+    def k_stage1(xr_ref, xi_ref, wp_ref, wq_ref, twr_ref, twi_ref, or_ref, oi_ref):
+        # one GEMM + twiddle only
+        xb = jnp.concatenate([xr_ref[:], xi_ref[:]], axis=1)
+        a = jax.lax.dot_general(xb, wp_ref[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32, precision=P)
+        ar, ai = a[:, :, :p], a[:, :, p:]
+        or_ref[:] = ar * twr_ref[:] - ai * twi_ref[:]
+        oi_ref[:] = ar * twi_ref[:] + ai * twr_ref[:]
+
     def build(kernel_fn, tb, extra=()):
         grid = batch // tb
         in_bspec = pl.BlockSpec((tb, p, q), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -78,16 +111,17 @@ def main():
 
         def apply(x):
             xr, xi = x
+            b = xr.shape[0]
             out_r, out_i = pl.pallas_call(
                 kernel_fn,
-                grid=(grid,),
+                grid=(b // tb,),
                 in_specs=[in_bspec, in_bspec, cs(wp), cs(wq), cs(twr), cs(twi)],
                 out_specs=[out_bspec, out_bspec],
-                out_shape=[jax.ShapeDtypeStruct((batch, q, p), jnp.float32)] * 2,
+                out_shape=[jax.ShapeDtypeStruct((b, q, p), jnp.float32)] * 2,
                 compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-            )(xr.reshape(batch, p, q), xi.reshape(batch, p, q),
+            )(xr.reshape(b, p, q), xi.reshape(b, p, q),
               jnp.asarray(wp), jnp.asarray(wq), jnp.asarray(twr), jnp.asarray(twi))
-            return out_r.reshape(batch, n), out_i.reshape(batch, n)
+            return out_r.reshape(b, n), out_i.reshape(b, n)
 
         return apply
 
@@ -104,14 +138,15 @@ def main():
     rng = np.random.default_rng(0)
     re = jax.device_put((rng.standard_normal((batch, n)) * 1e-30).astype(np.float32))
     im = jax.device_put((rng.standard_normal((batch, n)) * 1e-30).astype(np.float32))
-    sig = (rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))).astype(np.complex64)
+    sig = (rng.standard_normal((128, n)) + 1j * rng.standard_normal((128, n))).astype(np.complex64)
     exp = oracle_dft(sig, direction)
 
     print(f"n={n} p=q={p} batch={batch}")
-    for tb in (8, 32, 128):
-        for name, kf in (("batched", k_batched), ("loop", functools.partial(k_loop, tb))):
-            if name == "loop" and tb > 32:
-                continue  # unroll blowup
+    for tb in (8, 32):
+        for name, kf in (("copy", k_copy), ("copyT", k_copy_t), ("stage1", k_stage1),
+                         ("no_t", k_no_t), ("batched", k_batched)):
+            if False:
+                continue
             try:
                 fn = build(kf, tb)
                 t = timed(fn, (re, im))
