@@ -87,6 +87,7 @@ def main():
         (1 << 20, 64),
         (1234, 8192),  # BASELINE config 1 (planner path, non-pow2)
         (1009, 8192),  # BASELINE config 3 (Rader prime)
+        (3888, 16384),  # BASELINE config 4 (2^4 * 3^5 mixed radix)
     ]
 
     results = []

@@ -1,4 +1,4 @@
-"""Large-N FFT as two Pallas kernels: 2 HBM passes for n beyond VMEM tiles.
+"""Large-N FFT as two Pallas kernels: 2 HBM passes for n up to ~2^32.
 
 For n = P*Q beyond what a single VMEM-resident kernel can hold
 (ops/pallas/fused.py), the Cooley-Tukey split (ops/ct.py derivation, the
@@ -6,16 +6,16 @@ reference's MixedRadix six-step, mixed_radix.rs:128-158) is executed as two
 column/row kernels with all transposes absorbed into block layouts and GEMM
 output orders — no standalone XLA transpose passes:
 
-  kernel A ("column stage"): one (P, Q) tile [j1, j2] per batch element
-      (2D blocks of the (B*P, Q) view — 2D DMA measures faster than 3D):
-      contract the sublane j1 axis against the dense 2P x 2P block DFT
-      matrix (MXU), multiply by the resident outer twiddle w_n^(k1*j2)
-      (VPU), and emit (Q, P) [j2, k1] — the dot_general output order makes
-      the inter-stage transpose free.
-  kernel B ("row stage"): one (Q, P) tile [j2, k1] per batch element:
-      FFT of length Q over the *sublane* axis via an internal two-stage
-      q1 x q2 decomposition; the stage output orders land the result flat
-      in natural order [k2, k1].
+  kernel A ("column stage"): x (B, P, Q) [j1, j2]
+      per (Q-tile, batch) grid step: contract the sublane j1 axis against
+      the dense 2P x 2P block DFT matrix (MXU) and multiply by the streamed
+      outer twiddle w_n^(k1*j2) (VPU).  The dot_general output order
+      (tile, k1-lanes) lands directly in the (B, Q, P) layout kernel B wants.
+  kernel B ("row stage"): a (B, Q, P) [j2, k1]
+      per (P-tile, batch) grid step: FFT of length Q over the *sublane* axis
+      via an internal two-stage q1 x q2 decomposition; both stages contract
+      with weights-as-lhs dot_generals whose output orders make the result
+      come out flat in natural order [k2, k1] — again no transposes.
 
 Output (B, Q, P) reshaped to (B, n) is X[k2*P + k1]: ascending frequency.
 
@@ -25,8 +25,8 @@ is 24*(P + q1 + q2) bf16-flops/element at the default bf16x3 precision —
 pick P, q1, q2 to hold that near the 2-pass memory bound.
 
 Twiddle precision: all tables computed host-side in f64 (twiddles.py), cast
-to f32; the n-sized outer table is an HBM constant whose (Q, P) layout is
-read once per batch element.
+to f32; the streamed outer table is (Q, P) f32 in HBM, fetched once per
+Q-tile (the batch loop is the fast grid axis, so Mosaic never refetches).
 """
 from __future__ import annotations
 
@@ -54,17 +54,17 @@ def _contract(x, w_hi, w_lo, dims, precision):
     )
 
 
-def _kernel_a(p, q, precision, xr_ref, xi_ref, wp_hi_ref, wp_lo_ref,
+def _kernel_a(p, qt, precision, xr_ref, xi_ref, wp_hi_ref, wp_lo_ref,
               twr_ref, twi_ref, or_ref, oi_ref):
-    """Column stage: (P, Q) [j1, j2] -> (Q, P) [j2, k1], twiddled."""
-    xb = jnp.concatenate([xr_ref[:], xi_ref[:]], axis=0)  # (2P, Q)
-    # contract the sublane j1 axis; output order = (Q, 2P): [j2, k1]
+    """Column stage: (1, P, qt) [j1, j2] -> (1, qt, P) [j2, k1], twiddled."""
+    xb = jnp.concatenate([xr_ref[:], xi_ref[:]], axis=1)  # (1, 2P, qt)
+    # contract the sublane j1 axis; output order = (1, qt, 2P): [j2, k1]
     a = _contract(
-        xb, wp_hi_ref[:], wp_lo_ref[:], (((0,), (1,)), ((), ())), precision
+        xb, wp_hi_ref[:], wp_lo_ref[:], (((1,), (1,)), ((), ())), precision
     )
-    ar = a[:, :p]
-    ai = a[:, p:]
-    twr = twr_ref[:]  # (Q, P) outer twiddle table [j2, k1]
+    ar = a[:, :, :p]
+    ai = a[:, :, p:]
+    twr = twr_ref[:]  # (qt, P) block of the (Q, P) outer twiddle table
     twi = twi_ref[:]
     or_ref[:] = ar * twr - ai * twi
     oi_ref[:] = ar * twi + ai * twr
@@ -73,7 +73,7 @@ def _kernel_a(p, q, precision, xr_ref, xi_ref, wp_hi_ref, wp_lo_ref,
 def _kernel_b(q1, q2, pt, precision, variant, xr_ref, xi_ref, w1_hi_ref,
               w1_lo_ref, w2_hi_ref, w2_lo_ref, twr_ref, twi_ref,
               or_ref, oi_ref):
-    """Row stage: (Q, pt) [j2, k1] -> (Q, pt) [k2, k1] natural order.
+    """Row stage: (1, Q, pt) [j2, k1] -> (1, Q, pt) [k2, k1] natural order.
 
     FFT of length Q = q1*q2 over the sublane axis, lanes untouched.
     """
@@ -81,7 +81,11 @@ def _kernel_b(q1, q2, pt, precision, variant, xr_ref, xi_ref, w1_hi_ref,
     xi = xi_ref[:].reshape(q1, q2, pt)
 
     def wlhs(w_hi_ref, w_lo_ref, x, rhs_dim):
-        """Weights-as-lhs contraction: out[k, ...] = sum_j w[k, j] x[..j..]."""
+        """Weights-as-lhs contraction: out[k, ...] = sum_j w[k, j] x[..j..].
+
+        Output order = (lhs free = k) + (rhs free dims) — the k axis lands
+        leading and the lane axis is untouched, so no relayout is needed.
+        """
         dims = (((1,), (rhs_dim,)), ((), ()))
         if precision == "bf16x3":
             w_hi, w_lo = w_hi_ref[:], w_lo_ref[:]
@@ -133,23 +137,18 @@ def _kernel_b(q1, q2, pt, precision, variant, xr_ref, xi_ref, w1_hi_ref,
     di = d[q2:]
 
     # flat index kb*q1 + ka = natural order within Q
-    or_ref[:] = dr.reshape(q1 * q2, pt)
-    oi_ref[:] = di.reshape(q1 * q2, pt)
+    or_ref[:] = dr.reshape(1, q1 * q2, pt)
+    oi_ref[:] = di.reshape(1, q1 * q2, pt)
 
 
 def choose_pqq(n: int) -> Optional[Tuple[int, int, int]]:
     """Pick n = P * (q1*q2) minimizing MXU work with VMEM-feasible tiles."""
     best = None
-    budget = int(config.pallas_vmem_limit * 0.85)
     for p in range(8, 513):
         if n % p:
             continue
         rest = n // p
         if rest < 4:
-            continue
-        # both kernels hold ~10 live f32 copies of a (P, Q)/(Q, P) tile;
-        # beyond the budget (n ~> 1.4M at 64MB) fall back to the XLA path
-        if 10 * 4 * n > budget:
             continue
         # split rest = q1*q2 as balanced as possible, both <= 256
         inner = None
@@ -165,8 +164,12 @@ def choose_pqq(n: int) -> Optional[Tuple[int, int, int]]:
         if inner is None:
             continue
         _, q1, q2 = inner
+        # kernel-B block: (Q, pt=128) f32 pair x ~8 live copies
+        q = q1 * q2
+        if 8 * q * 128 * 4 > int(config.pallas_vmem_limit * 0.85):
+            continue
         work = p + q1 + q2  # bf16 passes per element / 24
-        key = (work, abs(p * p - n))  # prefer balanced P vs Q
+        key = (work, abs(p * p - n) )  # prefer balanced P vs Q
         if best is None or key < best[0]:
             best = (key, p, q1, q2)
     if best is None:
@@ -188,6 +191,8 @@ def make_large_fft_fn(
     split: Optional[Tuple[int, int, int]] = None,
     interpret: bool = False,
     precision=None,
+    qt: int = 512,
+    pt: int = 128,
     variant: str = "swap",
 ) -> Callable:
     """Return fn: Cplx (..., n) -> Cplx (..., n), the two-kernel pipeline."""
@@ -200,6 +205,14 @@ def make_large_fft_fn(
     if precision is None:
         precision = config.pallas_precision
     rdt = np.float32
+
+    qt = min(qt, q)
+    while q % qt:
+        qt //= 2
+    pt_eff = min(pt, p)
+    while p % pt_eff:
+        pt_eff //= 2
+    pt = pt_eff
 
     # kernel A constants
     wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)  # (2P, 2P)
@@ -225,54 +238,54 @@ def make_large_fft_fn(
         w1_hi, w1_lo = w1, zeros(w1)
         w2_hi, w2_lo = w2, zeros(w2)
 
-    kernel_a = functools.partial(_kernel_a, p, q, precision)
-    kernel_b = functools.partial(_kernel_b, q1, q2, p, precision, variant)
+    kernel_a = functools.partial(_kernel_a, p, qt, precision)
+    kernel_b = functools.partial(_kernel_b, q1, q2, pt, precision, variant)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=config.pallas_vmem_limit)
 
-    def const_spec(w):
-        return pl.BlockSpec(w.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
+    def const_spec(w, ndim=2):
+        return pl.BlockSpec(w.shape, lambda *_: (0,) * ndim, memory_space=pltpu.VMEM)
 
     def call(xr, xi):
         batch = xr.shape[0]
 
-        # ---- kernel A: per-batch (P, Q) tile -> (Q, P), twiddled ----
+        # ---- kernel A: (B, P, Q) -> (B, Q, P), twiddled ----
         a_r, a_i = pl.pallas_call(
             kernel_a,
-            grid=(batch,),
+            grid=(q // qt, batch),  # batch fastest: twiddle block stays put
             in_specs=[
-                pl.BlockSpec((p, q), lambda b: (b, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((p, q), lambda b: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p, qt), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p, qt), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
                 const_spec(wp_hi),
                 const_spec(wp_lo),
-                const_spec(twr_o),
-                const_spec(twi_o),
+                pl.BlockSpec((qt, p), lambda qi, b: (qi, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((qt, p), lambda qi, b: (qi, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((q, p), lambda b: (b, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((q, p), lambda b: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, qt, p), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, qt, p), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((batch * q, p), jnp.float32),
-                jax.ShapeDtypeStruct((batch * q, p), jnp.float32),
+                jax.ShapeDtypeStruct((batch, q, p), jnp.float32),
+                jax.ShapeDtypeStruct((batch, q, p), jnp.float32),
             ],
             compiler_params=cparams,
             interpret=interpret,
         )(
-            xr.reshape(batch * p, q),
-            xi.reshape(batch * p, q),
+            xr.reshape(batch, p, q),
+            xi.reshape(batch, p, q),
             jnp.asarray(wp_hi),
             jnp.asarray(wp_lo),
             jnp.asarray(twr_o),
             jnp.asarray(twi_o),
         )
 
-        # ---- kernel B: FFT_Q over sublanes of per-batch (Q, P) tiles ----
+        # ---- kernel B: FFT_Q over sublanes of (B, Q, P) ----
         out_r, out_i = pl.pallas_call(
             kernel_b,
-            grid=(batch,),
+            grid=(p // pt, batch),
             in_specs=[
-                pl.BlockSpec((q, p), lambda b: (b, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((q, p), lambda b: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q, pt), lambda pi, b: (b, 0, pi), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q, pt), lambda pi, b: (b, 0, pi), memory_space=pltpu.VMEM),
                 const_spec(w1_hi),
                 const_spec(w1_lo),
                 const_spec(w2_hi),
@@ -281,12 +294,12 @@ def make_large_fft_fn(
                 const_spec(twi_i),
             ],
             out_specs=[
-                pl.BlockSpec((q, p), lambda b: (b, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((q, p), lambda b: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q, pt), lambda pi, b: (b, 0, pi), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q, pt), lambda pi, b: (b, 0, pi), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((batch * q, p), jnp.float32),
-                jax.ShapeDtypeStruct((batch * q, p), jnp.float32),
+                jax.ShapeDtypeStruct((batch, q, p), jnp.float32),
+                jax.ShapeDtypeStruct((batch, q, p), jnp.float32),
             ],
             compiler_params=cparams,
             interpret=interpret,
