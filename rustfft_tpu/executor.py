@@ -77,6 +77,13 @@ def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[
     if mode == "tpu" and n < config.pallas_min_n:
         return None
     if fused.fused_supported(n, dtype):
+        if mode == "tpu":
+            # routing rule (measured on v5e): the fused kernel only beats the
+            # XLA path when its stage-1 GEMM has a lane dim filling the MXU
+            # (q a multiple of 128); e.g. 3888 = 54*72 is 2x slower fused.
+            split = fused._choose_pq(n)
+            if split is None or split[1] % 128 != 0:
+                return None
         return fused.make_fused_two_stage_fn(n, direction, dtype, interpret=interpret)
     if large.large_supported(n, dtype):
         return large.make_large_fft_fn(n, direction, dtype, interpret=interpret)
@@ -143,10 +150,34 @@ def _build(recipe: recipes.Recipe, direction: FftDirection, dtype) -> Callable:
         return op_gt.make_good_thomas_fn(p, q, left_fn, right_fn, dtype)
 
     if isinstance(recipe, recipes.Raders):
+        # hot path: the cyclic-convolution core as one Pallas kernel, with
+        # the root-permutation gathers and DC fixups staying in XLA
+        mode = _pallas_mode()
+        m = recipe.inner.length
+        if mode != "off" and (mode != "tpu" or m >= config.pallas_min_n):
+            from .ops.pallas import conv
+
+            if conv.conv_supported(m, dtype):
+                return conv.make_raders_fn(
+                    recipe.length, direction, dtype,
+                    interpret=(mode == "interpret"),
+                )
         inner_fn = build(recipe.inner, direction, dtype)
         return op_raders.make_raders_fn(recipe.length, inner_fn, direction, dtype)
 
     if isinstance(recipe, recipes.Bluesteins):
+        # hot path: the whole chirp-multiply / double-FFT / chirp-multiply
+        # pipeline as one Pallas kernel (one HBM pass instead of ~10)
+        mode = _pallas_mode()
+        m = recipe.inner.length
+        if mode != "off" and (mode != "tpu" or m >= config.pallas_min_n):
+            from .ops.pallas import conv
+
+            if conv.conv_supported(m, dtype):
+                return conv.make_bluestein_fn(
+                    recipe.length, m, direction, dtype,
+                    interpret=(mode == "interpret"),
+                )
         inner_fn = build(recipe.inner, direction, dtype)
         return op_bluestein.make_bluestein_fn(
             recipe.length, recipe.inner.length, inner_fn, direction, dtype

@@ -1,0 +1,380 @@
+"""Fused double-FFT convolution kernel — the Bluestein/Rader hot path.
+
+Both prime-size algorithms share one core (reference:
+bluesteins_algorithm.rs:100-135, raders_algorithm.rs:174-233):
+
+    out = [post .] conj-or-not( FFT_m( conj( FFT_m([pre .] x) . H ) ) )
+
+i.e. a cyclic convolution of length m by a precomputed spectrum H, using the
+conjugation-as-inverse trick so both transforms share one direction.  At the
+XLA level this costs ~10 HBM passes (chirp multiplies, padding, pointwise,
+and two multi-stage FFTs); here the whole pipeline runs inside one Pallas
+kernel per batch tile — one HBM read + one write.
+
+Layout scheme (m = p*q, all data 2D blocks (tb*p, q)):
+
+  FFT #1 (j = j1*q + j2):  stage A contracts the sublane j1 axis against
+  the block DFT_p (dot_general output order makes [j2, k1] free), twiddle
+  w_m^(k1 j2), stage B contracts j2 -> natural-transposed [k1, k2] layout.
+
+  The pointwise spectrum multiply uses H pre-reshaped to that exact [k1, k2]
+  layout (host-side transpose of H.reshape(q, p)).
+
+  FFT #2 re-decomposes the frequency index k = k2*p + k1 as m = q*p — its
+  input [j1'=k2, j2'=k1] is *already* the current layout read column-wise, so
+  stage A' contracts the lane axis (block_last DFT_q right-matmul), twiddle,
+  and stage B' contracts sublanes weights-as-lhs, landing the result flat in
+  natural order after one lane-preserving leading permute.
+
+Zero transposes of the lane dimension anywhere.
+
+Kernel MXU work: 4 GEMM stages = 24*2*(p+q) bf16-flops/element at bf16x3.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...common import FftDirection
+from ...config import config
+from ... import twiddles
+from .. import calg
+from .fused import _choose_pq, _split_bf16
+
+
+def conv_supported(m: int, dtype) -> bool:
+    """The kernel needs an MXU-shaped split of m and c64 data."""
+    if np.dtype(dtype) != np.complex64:
+        return False
+    split = _choose_pq(m)
+    if split is None or split[1] % 128 != 0:
+        return False
+    p, q = split
+    # ~24 live f32 copies of the (tb>=1, p, q) tile + two table sets
+    consts = 4 * (4 * p * p + 4 * q * q + 8 * p * q)
+    return consts + 24 * 4 * m <= int(config.pallas_vmem_limit * 0.9)
+
+
+def _pick_batch_tile(batch: int, m: int) -> int:
+    budget = int(config.pallas_vmem_limit * 0.7)
+    per_row = 24 * 4 * m
+    tb = max(1, budget // per_row)
+    tb = 1 << (tb.bit_length() - 1)
+    return max(1, min(tb, 128, batch))
+
+
+def _kernel(p, q, tb, precision, conj_out, xr_ref, xi_ref, wp_hi_ref,
+            wp_lo_ref, wq_hi_ref, wq_lo_ref, t1r_ref, t1i_ref, t2r_ref,
+            t2i_ref, hr_ref, hi_ref, prer_ref, prei_ref, postr_ref,
+            posti_ref, or_ref, oi_ref):
+    """(tb*p, q) [j1, j2] -> (tb*p, q) [k2'', k1''] = flat natural order."""
+    f32 = jnp.float32
+    kw = dict(preferred_element_type=f32)
+
+    def dot3(x, w_hi, w_lo, dims):
+        if precision != "bf16x3":
+            return jax.lax.dot_general(x, w_hi, dims, precision=precision, **kw)
+        x_hi = x.astype(jnp.bfloat16)
+        x_lo = (x - x_hi.astype(f32)).astype(jnp.bfloat16)
+        return (
+            jax.lax.dot_general(x_hi, w_hi, dims, **kw)
+            + jax.lax.dot_general(x_hi, w_lo, dims, **kw)
+            + jax.lax.dot_general(x_lo, w_hi, dims, **kw)
+        )
+
+    def dot3_wlhs(w_hi, w_lo, x, dims):
+        if precision != "bf16x3":
+            return jax.lax.dot_general(w_hi, x, dims, precision=precision, **kw)
+        x_hi = x.astype(jnp.bfloat16)
+        x_lo = (x - x_hi.astype(f32)).astype(jnp.bfloat16)
+        return (
+            jax.lax.dot_general(w_hi, x_hi, dims, **kw)
+            + jax.lax.dot_general(w_lo, x_hi, dims, **kw)
+            + jax.lax.dot_general(w_hi, x_lo, dims, **kw)
+        )
+
+    sub = (((1,), (1,)), ((), ()))
+    # contracting wq's dim 1 right-multiplies by block_mid^T == block_last
+    # (DFT matrices are symmetric), the correct form for [re | im] lane packs
+    lane = (((2,), (1,)), ((), ()))
+
+    xr = xr_ref[:].reshape(tb, p, q)
+    xi = xi_ref[:].reshape(tb, p, q)
+
+    # optional pre-multiply (Bluestein chirp; zero beyond n => padding)
+    pr = prer_ref[:]  # (p, q) [j1, j2]
+    pi = prei_ref[:]
+    vr = xr * pr - xi * pi
+    vi = xr * pi + xi * pr
+
+    # ---- FFT #1, stage A: DFT_p over sublane j1 ----
+    xb = jnp.concatenate([vr, vi], axis=1)  # (tb, 2p, q)
+    a = dot3(xb, wp_hi_ref[:], wp_lo_ref[:], sub)  # (tb, q, 2p) [j2, k1]
+    ar, ai = a[:, :, :p], a[:, :, p:]
+    t1r = t1r_ref[:]  # (q, p) [j2, k1]
+    t1i = t1i_ref[:]
+    br = ar * t1r - ai * t1i
+    bi = ar * t1i + ai * t1r
+
+    # ---- FFT #1, stage B: DFT_q over sublane j2 -> [k1, k2] ----
+    bb = jnp.concatenate([br, bi], axis=1)  # (tb, 2q, p)
+    y = dot3(bb, wq_hi_ref[:], wq_lo_ref[:], sub)  # (tb, p, 2q) [k1, k2]
+    yr, yi = y[:, :, :q], y[:, :, q:]
+
+    # ---- pointwise: z = conj(Y * H), H arrives [k1, k2]-shaped (p, q) ----
+    hr = hr_ref[:]
+    hi = hi_ref[:]
+    zr = yr * hr - yi * hi
+    zi = -(yr * hi + yi * hr)  # conj
+
+    # ---- FFT #2 over k = k2*p + k1, decomposed m = q*p ----
+    # input [j1'=k2 (lanes), j2'=k1 (sublanes)] is the current layout.
+    # stage A': DFT_q over the lane axis (right-matmul, block_last form)
+    zb = jnp.concatenate([zr, zi], axis=2)  # (tb, p, 2q)
+    c = dot3(zb, wq_hi_ref[:], wq_lo_ref[:], lane)
+    # block_mid(W)^T = block_last(W) for symmetric DFT matrices, so wq serves
+    # both: contracting its rows (lane form) right-multiplies correctly.
+    cr, ci = c[:, :, :q], c[:, :, q:]  # (tb, p, q) [j2'=k1, k1''] -- k1'' lanes
+    t2r = t2r_ref[:]  # (p, q) [j2', k1'']
+    t2i = t2i_ref[:]
+    dr_ = cr * t2r - ci * t2i
+    di_ = cr * t2i + ci * t2r
+
+    # stage B': DFT_p over sublane j2', weights-as-lhs -> leading k2''
+    db = jnp.concatenate([dr_, di_], axis=1)  # (tb, 2p, q)
+    e = dot3_wlhs(wp_hi_ref[:], wp_lo_ref[:], db, sub)  # (2p, tb, q) [k2'', b, k1'']
+    e = jnp.transpose(e, (1, 0, 2))  # (tb, 2p, q) — lane-preserving permute
+    er, ei = e[:, :p, :], e[:, p:, :]  # (tb, p, q) [k2'', k1''] = flat natural
+
+    if conj_out:
+        ei = -ei
+    postr = postr_ref[:]  # (p, q) in the same flat layout
+    posti = posti_ref[:]
+    outr = er * postr - ei * posti
+    outi = er * posti + ei * postr
+    or_ref[:] = outr.reshape(tb * p, q)
+    oi_ref[:] = outi.reshape(tb * p, q)
+
+
+def make_bluestein_fn(
+    n: int,
+    m: int,
+    direction: FftDirection,
+    dtype,
+    interpret: bool = False,
+) -> Callable:
+    """Whole Bluestein transform of length n (inner length m) as one kernel.
+
+    Same plan-time precomputation as ops/bluestein.py (reference:
+    bluesteins_algorithm.rs:62-87): chirp as pre/post tables, inner-FFT
+    spectrum of the symmetric-wrapped scaled conjugate chirp as H.
+    """
+    chirp = twiddles.bluesteins_twiddles(n, direction)
+    h = twiddles.bluesteins_twiddles(n, direction.opposite()) / m
+    h_full = np.zeros(m, dtype=np.complex128)
+    h_full[0] = h[0]
+    h_full[1:n] = h[1:]
+    h_full[m - n + 1 :] = h[1:][::-1]
+    h_fft = twiddles.host_dft(h_full, direction)
+    return make_conv_fn(
+        m,
+        direction,
+        dtype,
+        h=h_fft,
+        pre=chirp,
+        post=chirp,
+        conj_out=True,
+        n_in=n,
+        n_out=n,
+        interpret=interpret,
+    )
+
+
+def make_raders_fn(
+    p_prime: int,
+    direction: FftDirection,
+    dtype,
+    interpret: bool = False,
+) -> Callable:
+    """Whole Rader transform of prime length p as gathers + one conv kernel.
+
+    Same plan-time precomputation as ops/raders.py (reference:
+    raders_algorithm.rs:86-109).  The reference's "+x[0] to the DC bin before
+    the second transform" (raders_algorithm.rs:219-221) is algebraically
+    hoisted out of the kernel: FFT(c + conj(x0)*e0) = FFT(c) + conj(x0), so
+    the fixup becomes one fused elementwise add after the kernel.
+    """
+    from ... import math_utils
+
+    m = p_prime - 1
+    g = math_utils.primitive_root(p_prime)
+    g_inv = math_utils.mod_inverse(g, p_prime)
+
+    perm_in = np.empty(m, dtype=np.int64)
+    idx = 1
+    for i in range(m):
+        idx = idx * g % p_prime
+        perm_in[i] = idx
+    out_idx = np.empty(m, dtype=np.int64)
+    idx = 1
+    for i in range(m):
+        idx = idx * g_inv % p_prime
+        out_idx[i] = idx
+    inv_gather = np.empty(m, dtype=np.int64)
+    inv_gather[out_idx - 1] = np.arange(m)
+
+    b = np.empty(m, dtype=np.complex128)
+    t = 1
+    for i in range(m):
+        b[i] = twiddles.compute_twiddle(t, p_prime, direction)
+        t = t * g_inv % p_prime
+    b_fft = twiddles.host_dft(b / m, direction)
+
+    core = make_conv_fn(m, direction, dtype, h=b_fft, interpret=interpret)
+    perm_in32 = perm_in.astype(np.int32)
+    inv_gather32 = inv_gather.astype(np.int32)
+
+    def apply(x):
+        xr, xi = x
+        a = calg.take(x, jnp.asarray(perm_in32), axis=-1)
+        dr, di = core(a)
+        # out[0] = x[0] + A[0] = sum(x)  (A[0] = sum over permuted inputs)
+        out0 = (
+            jnp.sum(xr, axis=-1, keepdims=True),
+            jnp.sum(xi, axis=-1, keepdims=True),
+        )
+        # rest[t] = conj(D[inv] + conj(x0)) = conj(D[inv]) + x0
+        gr = jnp.take(dr, jnp.asarray(inv_gather32), axis=-1)
+        gi = jnp.take(di, jnp.asarray(inv_gather32), axis=-1)
+        rest = (gr + xr[..., :1], -gi + xi[..., :1])
+        return calg.concat_last(out0, rest)
+
+    return apply
+
+
+def make_conv_fn(
+    m: int,
+    direction: FftDirection,
+    dtype,
+    h: np.ndarray,
+    pre: Optional[np.ndarray] = None,
+    post: Optional[np.ndarray] = None,
+    conj_out: bool = False,
+    n_in: Optional[int] = None,
+    n_out: Optional[int] = None,
+    interpret: bool = False,
+    precision=None,
+) -> Callable:
+    """Build fn: Cplx (..., n_in) -> Cplx (..., n_out) computing
+
+        out = [post *] maybe_conj( FFT_m( conj( FFT_m([pre *] zeropad(x)) * H ) ) )
+
+    `h`, `pre`, `post` are complex128 host arrays of length m (pre/post may
+    be length <= m; they are zero-extended, which implements the Bluestein
+    zero-padding for free).  n_in/n_out default to m.
+    """
+    assert np.dtype(dtype) == np.complex64
+    split = _choose_pq(m)
+    assert split is not None, f"no conv split for m={m}"
+    p, q = split
+    n_in = n_in or m
+    n_out = n_out or m
+    if precision is None:
+        precision = config.pallas_precision
+    rdt = np.float32
+
+    # pre table doubles as the zero-padding mask: entries >= n_in are zero
+    pre_full = np.zeros(m, dtype=np.complex128)
+    if pre is not None:
+        pre_full[: len(pre)] = pre
+    else:
+        pre_full[:n_in] = 1.0
+    if post is not None:
+        post_full = np.zeros(m, dtype=np.complex128)
+        post_full[: len(post)] = post
+    else:
+        post_full = np.ones(m, dtype=np.complex128)
+
+    # tables in the layouts the kernel consumes
+    pre2 = pre_full.reshape(p, q)  # [j1, j2]
+    h2 = np.ascontiguousarray(h.reshape(q, p).T)  # [k1, k2]
+    post2 = post_full.reshape(p, q)  # [k2'', k1''] flat
+
+    wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)
+    wq = calg.block_mid(twiddles.dft_matrix(q, direction), rdt)
+    t1 = twiddles.twiddle_table(p, q, direction).T  # (q, p) [j2, k1]
+    t2 = twiddles.twiddle_table(q, p, direction).T  # (p, q) [j2', k1'']
+
+    if precision == "bf16x3":
+        wp_hi, wp_lo = _split_bf16(wp)
+        wq_hi, wq_lo = _split_bf16(wq)
+    else:
+        wp_hi, wp_lo = wp, np.zeros_like(wp, dtype=jnp.bfloat16)
+        wq_hi, wq_lo = wq, np.zeros_like(wq, dtype=jnp.bfloat16)
+
+    consts = [
+        wp_hi, wp_lo, wq_hi, wq_lo,
+        np.ascontiguousarray(t1.real).astype(rdt),
+        np.ascontiguousarray(t1.imag).astype(rdt),
+        np.ascontiguousarray(t2.real).astype(rdt),
+        np.ascontiguousarray(t2.imag).astype(rdt),
+        np.ascontiguousarray(h2.real).astype(rdt),
+        np.ascontiguousarray(h2.imag).astype(rdt),
+        pre2.real.astype(rdt), pre2.imag.astype(rdt),
+        post2.real.astype(rdt), post2.imag.astype(rdt),
+    ]
+
+    def call(xr, xi):
+        batch = xr.shape[0]
+        tb = _pick_batch_tile(batch, m)
+        pad_b = (-batch) % tb
+        if pad_b:
+            xr = jnp.pad(xr, ((0, pad_b), (0, 0)))
+            xi = jnp.pad(xi, ((0, pad_b), (0, 0)))
+        bpad = batch + pad_b
+        kernel = functools.partial(_kernel, p, q, tb, precision, conj_out)
+        bspec = pl.BlockSpec((tb * p, q), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+        def cspec(w):
+            return pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+        out_r, out_i = pl.pallas_call(
+            kernel,
+            grid=(bpad // tb,),
+            in_specs=[bspec, bspec] + [cspec(w) for w in consts],
+            out_specs=[bspec, bspec],
+            out_shape=[jax.ShapeDtypeStruct((bpad * p, q), jnp.float32)] * 2,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=config.pallas_vmem_limit
+            ),
+            interpret=interpret,
+        )(
+            xr.reshape(bpad * p, q),
+            xi.reshape(bpad * p, q),
+            *[jnp.asarray(w) for w in consts],
+        )
+        out_r = out_r.reshape(bpad, m)[:batch, :n_out]
+        out_i = out_i.reshape(bpad, m)[:batch, :n_out]
+        return out_r, out_i
+
+    def apply(x):
+        xr, xi = x
+        shape = xr.shape
+        flat_r = xr.reshape(-1, shape[-1])
+        flat_i = xi.reshape(-1, shape[-1])
+        if shape[-1] < m:  # zero-pad to m (pre-table already zeros the tail)
+            flat_r = jnp.pad(flat_r, ((0, 0), (0, m - shape[-1])))
+            flat_i = jnp.pad(flat_i, ((0, 0), (0, m - shape[-1])))
+        out_r, out_i = call(flat_r, flat_i)
+        return (
+            out_r.reshape(shape[:-1] + (n_out,)),
+            out_i.reshape(shape[:-1] + (n_out,)),
+        )
+
+    return apply

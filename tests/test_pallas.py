@@ -71,6 +71,62 @@ def test_large_pipeline_matches_oracle():
             assert err < 1e-2, (direction, variant, err)
 
 
+@pytest.mark.parametrize("n,m", [(100, 256), (1234, 3072)])
+@pytest.mark.parametrize(
+    "direction", [FftDirection.FORWARD, FftDirection.INVERSE]
+)
+def test_bluestein_conv_kernel(n, m, direction):
+    """Fused double-FFT convolution kernel (ops/pallas/conv.py)."""
+    from rustfft_tpu.ops.pallas import conv
+
+    assert conv.conv_supported(m, np.complex64)
+    fn = conv.make_bluestein_fn(n, m, direction, np.complex64, interpret=True)
+    sig = random_signal(3 * n, dtype=np.complex64, seed=n).reshape(3, n)
+    o_r, o_i = fn((sig.real, sig.imag))
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    err = mean_element_error(out, oracle_dft(sig, direction))
+    assert err < 1e-2, (n, m, direction, err)
+
+
+@pytest.mark.parametrize("p", [257, 769])
+@pytest.mark.parametrize(
+    "direction", [FftDirection.FORWARD, FftDirection.INVERSE]
+)
+def test_raders_conv_kernel(p, direction):
+    """Rader's via the fused convolution kernel + XLA gathers."""
+    from rustfft_tpu.ops.pallas import conv
+
+    fn = conv.make_raders_fn(p, direction, np.complex64, interpret=True)
+    sig = random_signal(3 * p, dtype=np.complex64, seed=p).reshape(3, p)
+    o_r, o_i = fn((sig.real, sig.imag))
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    err = mean_element_error(out, oracle_dft(sig, direction))
+    assert err < 1e-2, (p, direction, err)
+
+
+def test_conv_unsupported_sizes():
+    from rustfft_tpu.ops.pallas import conv
+
+    assert not conv.conv_supported(128, np.complex64)  # q=64 lane-misaligned
+    assert not conv.conv_supported(256, np.complex128)  # c64 only
+
+
+def test_executor_routes_bluestein_through_conv(monkeypatch):
+    """use_pallas='on' routes prime Bluestein sizes through the conv kernel."""
+    monkeypatch.setattr(config, "use_pallas", "on")
+    from rustfft_tpu import executor
+
+    planner = FftPlanner()
+    plan = planner.plan_fft_forward(1237)  # prime; 1236 = 2^2*3*103 -> Bluestein
+    from rustfft_tpu import recipes
+
+    assert isinstance(plan.recipe, recipes.Bluesteins)
+    sig = random_signal(1237, dtype=np.complex64)
+    out = np.asarray(plan.process(sig))
+    err = mean_element_error(out, oracle_dft(sig, FftDirection.FORWARD))
+    assert err < 1e-2, err
+
+
 def test_executor_routes_through_fused(monkeypatch):
     """use_pallas='on' must produce identical results through the planner."""
     monkeypatch.setattr(config, "use_pallas", "on")
