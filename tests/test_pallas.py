@@ -127,6 +127,30 @@ def test_executor_routes_bluestein_through_conv(monkeypatch):
     assert err < 1e-2, err
 
 
+def test_tpu_planner_conv_rules(monkeypatch):
+    """With Pallas active, the TPU planner prefers conv-kernel-shaped recipes:
+    Rader when p-1 is MXU-aligned, whole-n Bluestein for awkward sizes."""
+    monkeypatch.setattr(config, "use_pallas", "on")
+    from rustfft_tpu import FftPlannerTpu, recipes
+
+    planner = FftPlannerTpu()
+    # 257: p-1 = 256 = 2x128 conv-aligned -> Rader
+    assert isinstance(planner.design_fft_for_len(257), recipes.Raders)
+    # 1009: p-1 = 1008 misaligned -> Bluestein with the smallest aligned inner
+    r = planner.design_fft_for_len(1009)
+    assert isinstance(r, recipes.Bluesteins) and r.inner.length == 2048
+    # 1234 = 2*617 (factor > dense leaf) -> whole-n Bluestein, inner 3072
+    r = planner.design_fft_for_len(1234)
+    assert isinstance(r, recipes.Bluesteins) and r.inner.length == 3072
+    # accuracy through the public surface
+    plan = FftPlanner().plan_fft_forward(1234)
+    sig = random_signal(1234, dtype=np.complex64)
+    err = mean_element_error(
+        np.asarray(plan.process(sig)), oracle_dft(sig, FftDirection.FORWARD)
+    )
+    assert err < 1e-2, err
+
+
 def test_executor_routes_through_fused(monkeypatch):
     """use_pallas='on' must produce identical results through the planner."""
     monkeypatch.setattr(config, "use_pallas", "on")
