@@ -477,3 +477,53 @@ void pc_twiddles(const int64_t* indices, int64_t count, double fft_len,
 }
 
 }  // extern "C"
+
+// ---- table tier: plan-time constant generation (reference twiddles.rs) ----
+// All angles computed in f64 with exponents reduced in exact integer
+// arithmetic first, matching the Python implementations bit-for-bit in
+// structure (twiddles.py); conjugate=1 gives the inverse-direction tables.
+
+extern "C" {
+
+// out[j*n + k] = e^(-2*pi*i*((j*k) mod n)/n), interleaved re/im (2*n*n doubles)
+void pc_dft_matrix(u64 n, int conjugate, double* out) {
+  const double c = -2.0 * M_PI / (double)n;
+  for (u64 j = 0; j < n; ++j) {
+    for (u64 k = 0; k < n; ++k) {
+      u64 e = (u64)(((unsigned __int128)j * k) % n);
+      double a = c * (double)e;
+      out[2 * (j * n + k)] = std::cos(a);
+      out[2 * (j * n + k) + 1] = conjugate ? -std::sin(a) : std::sin(a);
+    }
+  }
+}
+
+// out[k1*q + j2] = e^(-2*pi*i*((k1*j2) mod (p*q))/(p*q)), interleaved (2*p*q)
+void pc_twiddle_table(u64 p, u64 q, int conjugate, double* out) {
+  const u64 n = p * q;
+  const double c = -2.0 * M_PI / (double)n;
+  for (u64 k1 = 0; k1 < p; ++k1) {
+    for (u64 j2 = 0; j2 < q; ++j2) {
+      u64 e = (u64)(((unsigned __int128)k1 * j2) % n);
+      double a = c * (double)e;
+      out[2 * (k1 * q + j2)] = std::cos(a);
+      out[2 * (k1 * q + j2) + 1] = conjugate ? -std::sin(a) : std::sin(a);
+    }
+  }
+}
+
+// Bluestein chirp out[k] = e^(-2*pi*i*((k*k) mod 2n)/(2n)), interleaved (2*n).
+// The k^2 mod 2n reduction runs in 128-bit integers — the precision trick of
+// reference twiddles.rs:25-57, exact for any n below 2^63.
+void pc_bluestein_chirp(u64 n, int conjugate, double* out) {
+  const u64 twice = 2 * n;
+  const double c = -2.0 * M_PI / (double)twice;
+  for (u64 k = 0; k < n; ++k) {
+    u64 e = (u64)(((unsigned __int128)k * k) % twice);
+    double a = c * (double)e;
+    out[2 * k] = std::cos(a);
+    out[2 * k + 1] = conjugate ? -std::sin(a) : std::sin(a);
+  }
+}
+
+}  // extern "C"

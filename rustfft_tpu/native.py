@@ -83,8 +83,56 @@ def _load():
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_double),
     ]
+    for name, args in (
+        ("pc_dft_matrix", [ctypes.c_uint64, ctypes.c_int]),
+        ("pc_twiddle_table", [ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int]),
+        ("pc_bluestein_chirp", [ctypes.c_uint64, ctypes.c_int]),
+    ):
+        fn = getattr(lib, name, None)
+        if fn is None:  # older library build
+            continue
+        fn.restype = None
+        fn.argtypes = args + [ctypes.POINTER(ctypes.c_double)]
     _lib = lib
     return lib
+
+
+def _table(fn_name: str, shape, *int_args) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    fn = getattr(lib, fn_name, None)
+    if fn is None:
+        return None
+    out = np.empty(shape + (2,), dtype=np.float64)
+    fn(*int_args, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out.view(np.complex128).reshape(shape)
+
+
+def dft_matrix(n: int, conjugate: bool) -> Optional[np.ndarray]:
+    """Dense n x n DFT matrix (complex128) via pc_dft_matrix."""
+    if n == 0 or n >= 2**31:
+        return None
+    return _table("pc_dft_matrix", (n, n), ctypes.c_uint64(n), int(conjugate))
+
+
+def twiddle_table(p: int, q: int, conjugate: bool) -> Optional[np.ndarray]:
+    """Cooley-Tukey twiddle table (p, q) via pc_twiddle_table."""
+    if p * q >= 2**31 or p == 0 or q == 0:
+        return None
+    return _table(
+        "pc_twiddle_table", (p, q),
+        ctypes.c_uint64(p), ctypes.c_uint64(q), int(conjugate),
+    )
+
+
+def bluestein_chirp(n: int, conjugate: bool) -> Optional[np.ndarray]:
+    """Bluestein chirp of length n via pc_bluestein_chirp (exact k^2 mod 2n)."""
+    if n == 0 or n >= 2**62:
+        return None
+    return _table(
+        "pc_bluestein_chirp", (n,), ctypes.c_uint64(n), int(conjugate)
+    )
 
 
 def available() -> bool:

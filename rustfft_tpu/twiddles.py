@@ -31,6 +31,13 @@ def dft_matrix(n: int, direction: FftDirection) -> np.ndarray:
     Angles use index products reduced mod n before converting to float so that
     large n keeps full f64 precision.
     """
+    from . import native
+    from .config import config
+
+    if config.use_native:
+        mat = native.dft_matrix(n, direction is FftDirection.INVERSE)
+        if mat is not None:
+            return mat
     j = np.arange(n, dtype=np.int64)
     # exponent matrix mod n, in integer arithmetic (exact)
     exponents = np.outer(j, j) % n
@@ -47,6 +54,13 @@ def twiddle_table(p: int, q: int, direction: FftDirection) -> np.ndarray:
     Equivalent of the per-algorithm twiddle precomputation in
     mixed_radix.rs:66-71 and radix4.rs:79-92, in table form.
     """
+    from . import native
+    from .config import config
+
+    if config.use_native:
+        table = native.twiddle_table(p, q, direction is FftDirection.INVERSE)
+        if table is not None:
+            return table
     n = p * q
     k1 = np.arange(p, dtype=np.int64)
     j2 = np.arange(q, dtype=np.int64)
@@ -65,6 +79,13 @@ def bluesteins_twiddles(length: int, direction: FftDirection) -> np.ndarray:
     preserve precision at large n; Python integers are arbitrary precision so
     the same reduction is exact here for any n.
     """
+    from . import native
+    from .config import config
+
+    if config.use_native:
+        table = native.bluestein_chirp(length, direction is FftDirection.INVERSE)
+        if table is not None:
+            return table
     twice_len = 2 * length
     k = np.arange(length, dtype=object)
     exponents = np.array([int(i) * int(i) % twice_len for i in k], dtype=np.int64)

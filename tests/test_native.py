@@ -75,3 +75,62 @@ def test_twiddle_values_match():
         tw = native.twiddle_values(idx, 64, conj)
         ref = np.exp((1j if conj else -1j) * 2 * np.pi * idx / 64)
         np.testing.assert_allclose(tw, ref, atol=1e-15)
+
+
+class TestNativeTables:
+    """C++ table tier == numpy table tier, exactly-structured f64."""
+
+    def test_dft_matrix_parity(self):
+        from rustfft_tpu import native, twiddles
+        from rustfft_tpu.common import FftDirection
+        from rustfft_tpu.config import config
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        for n in (1, 2, 31, 128, 257):
+            for direction in (FftDirection.FORWARD, FftDirection.INVERSE):
+                nat = native.dft_matrix(n, direction is FftDirection.INVERSE)
+                old = config.use_native
+                config.use_native = False
+                try:
+                    ref = twiddles.dft_matrix(n, direction)
+                finally:
+                    config.use_native = old
+                np.testing.assert_allclose(nat, ref, rtol=0, atol=1e-14)
+
+    def test_twiddle_table_parity(self):
+        from rustfft_tpu import native, twiddles
+        from rustfft_tpu.common import FftDirection
+        from rustfft_tpu.config import config
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        for p, q in ((2, 3), (16, 128), (31, 37)):
+            for direction in (FftDirection.FORWARD, FftDirection.INVERSE):
+                nat = native.twiddle_table(p, q, direction is FftDirection.INVERSE)
+                old = config.use_native
+                config.use_native = False
+                try:
+                    ref = twiddles.twiddle_table(p, q, direction)
+                finally:
+                    config.use_native = old
+                np.testing.assert_allclose(nat, ref, rtol=0, atol=1e-14)
+
+    def test_bluestein_chirp_parity_and_precision(self):
+        from rustfft_tpu import native, twiddles
+        from rustfft_tpu.common import FftDirection
+        from rustfft_tpu.config import config
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        # includes a large n where the k^2 mod 2n reduction must be exact
+        for n in (5, 1234, 1_000_003):
+            for direction in (FftDirection.FORWARD, FftDirection.INVERSE):
+                nat = native.bluestein_chirp(n, direction is FftDirection.INVERSE)
+                old = config.use_native
+                config.use_native = False
+                try:
+                    ref = twiddles.bluesteins_twiddles(n, direction)
+                finally:
+                    config.use_native = old
+                np.testing.assert_allclose(nat, ref, rtol=0, atol=1e-12)
