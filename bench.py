@@ -108,7 +108,7 @@ def main():
         json.dumps(
             {
                 "metric": "batched c64 FFT GFLOP/s, geomean over sizes "
-                "{1024,4096,65536,2^20,1234,1009}",
+                "{1024,4096,65536,2^20,1234,1009,3888}",
                 "value": round(geo, 2),
                 "unit": "GFLOP/s (5N log2 N)",
                 "vs_baseline": round(geo / geo_base, 2),

@@ -84,15 +84,29 @@ class FftPlan:
         `len(self)`; each length-`len` chunk is transformed independently
         (reference batching contract, lib.rs:200-209).  Output is ascending
         frequency order, DC first, unnormalized (lib.rs:81-89).
+
+        JAX arrays stay on device end to end (split/combine of the complex
+        pair happens in jitted device ops); any other input goes through
+        numpy on the host.
         """
-        x = np.asarray(buffer).astype(self._dtype)
+        on_device = isinstance(buffer, jax.Array)
+        x = buffer if on_device else np.asarray(buffer)
         n = self._recipe.length
         if x.ndim == 0:
             raise FftBufferError("FFT input must have at least one dimension")
         chunks = validate_buffer_len(x.shape[-1], n)
-        if n <= 1 or x.shape[-1] == 0:
-            return x
         shape = x.shape
+        if on_device:
+            x = x.astype(self._dtype)
+            if n <= 1 or shape[-1] == 0:
+                return x
+            if shape[-1] != n:
+                x = x.reshape(shape[:-1] + (chunks, n))
+            re, im = self.process_pair(jnp.real(x), jnp.imag(x))
+            return jax.lax.complex(re, im).reshape(shape).astype(self._dtype)
+        x = x.astype(self._dtype)
+        if n <= 1 or shape[-1] == 0:
+            return x
         if shape[-1] != n:
             x = x.reshape(shape[:-1] + (chunks, n))
         re, im = self.process_pair(

@@ -120,3 +120,26 @@ def test_planner_scalar_matches_tpu_results():
         a = np.asarray(FftPlannerScalar().plan_fft_forward(n).process(sig))
         b = np.asarray(FftPlanner().plan_fft_forward(n).process(sig))
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-2)
+
+
+def test_process_device_arrays_stay_on_device():
+    """JAX-array inputs round-trip on device (no host numpy conversion)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rustfft_tpu import FftPlanner
+    from rustfft_tpu.utils.testing import mean_element_error, oracle_dft, random_signal
+
+    plan = FftPlanner().plan_fft_forward(96)
+    sig = random_signal(2 * 96, dtype=np.complex64).reshape(2, 96)
+    dev = jnp.asarray(sig)
+    out = plan.process(dev)
+    assert isinstance(out, jax.Array)
+    assert out.dtype == jnp.complex64
+    err = mean_element_error(np.asarray(out), oracle_dft(sig, plan.fft_direction()))
+    assert err < 1e-3
+    # flat chunked device buffer
+    out2 = plan.process(dev.reshape(-1))
+    np.testing.assert_allclose(
+        np.asarray(out2).reshape(2, 96), np.asarray(out), rtol=0, atol=1e-5
+    )
