@@ -105,7 +105,13 @@ def build(recipe: recipes.Recipe, direction: FftDirection, dtype) -> Callable:
     """
     dtype = np.dtype(dtype)
     mode = _pallas_mode()
-    key = (recipe, direction, dtype, mode, config.pallas_min_n)
+    # every config field that is baked into built functions must key the
+    # cache, or mutating config (config.py documents this) returns stale fns
+    key = (
+        recipe, direction, dtype, mode,
+        config.pallas_min_n, config.pallas_precision,
+        config.pallas_vmem_limit, config.matmul_precision,
+    )
     fn = _CACHE.get(key)
     if fn is None:
         fn = _maybe_fused(recipe.length, direction, dtype, mode)

@@ -14,7 +14,6 @@ its single-chip reduction — as the repo's "flagship model":
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, Tuple
 
 import jax

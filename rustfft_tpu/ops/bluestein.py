@@ -22,6 +22,28 @@ from .. import twiddles
 from . import calg
 
 
+def bluestein_tables(n: int, m: int, direction: FftDirection):
+    """Plan-time constants shared by the XLA and Pallas Bluestein paths.
+
+    Returns (chirp, h_fft) in complex128:
+    * chirp — the "mundane" chirp applied before and after
+      (bluesteins_algorithm.rs:87-89),
+    * h_fft — the inner-FFT spectrum of the conjugate-direction chirp,
+      scaled by 1/m and wrapped symmetrically
+      (bluesteins_algorithm.rs:62-84).
+    """
+    if m < 2 * n - 1:
+        raise ValueError(f"Bluestein inner length {m} < 2*{n}-1")
+    chirp = twiddles.bluesteins_twiddles(n, direction)
+    h = twiddles.bluesteins_twiddles(n, direction.opposite()) / m
+    h_full = np.zeros(m, dtype=np.complex128)
+    h_full[0] = h[0]
+    h_full[1:n] = h[1:]
+    h_full[m - n + 1 :] = h[1:][::-1]
+    h_fft = twiddles.host_dft(h_full, direction)
+    return chirp, h_fft
+
+
 def make_bluestein_fn(
     n: int,
     m: int,
@@ -30,22 +52,10 @@ def make_bluestein_fn(
     dtype,
 ):
     """Return fn: Cplx (..., n) -> Cplx (..., n). inner_fn: length-m FFT."""
-    assert m >= 2 * n - 1, f"Bluestein inner length {m} < 2*{n}-1"
     rdt = calg.real_dtype_of(dtype)
-
-    # "mundane" chirp applied before and after (bluesteins_algorithm.rs:87-89)
-    chirp = twiddles.bluesteins_twiddles(n, direction)
+    chirp, h_fft = bluestein_tables(n, m, direction)
     cr = chirp.real.astype(rdt)
     ci = chirp.imag.astype(rdt)
-
-    # conjugate-direction chirp, scaled by 1/m, wrapped symmetrically, then
-    # transformed by the (same-direction) inner FFT (bluesteins_algorithm.rs:62-84)
-    h = twiddles.bluesteins_twiddles(n, direction.opposite()) / m
-    h_full = np.zeros(m, dtype=np.complex128)
-    h_full[0] = h[0]
-    h_full[1:n] = h[1:]
-    h_full[m - n + 1 :] = h[1:][::-1]
-    h_fft = twiddles.host_dft(h_full, direction)
     hr = h_fft.real.astype(rdt)
     hi = h_fft.imag.astype(rdt)
 

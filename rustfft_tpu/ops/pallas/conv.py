@@ -45,7 +45,7 @@ from ...common import FftDirection
 from ...config import config
 from ... import twiddles
 from .. import calg
-from .fused import _choose_pq, _split_bf16
+from .fused import _choose_pq, _split_bf16, contract_rhs, contract_wlhs
 
 
 def conv_supported(m: int, dtype) -> bool:
@@ -69,35 +69,17 @@ def _pick_batch_tile(batch: int, m: int) -> int:
     return max(1, min(tb, 128, batch))
 
 
-def _kernel(p, q, tb, precision, conj_out, xr_ref, xi_ref, wp_hi_ref,
-            wp_lo_ref, wq_hi_ref, wq_lo_ref, t1r_ref, t1i_ref, t2r_ref,
-            t2i_ref, hr_ref, hi_ref, prer_ref, prei_ref, postr_ref,
-            posti_ref, or_ref, oi_ref):
+def _kernel(p, q, tb, precision, conj_out, has_pre, has_post, xr_ref,
+            xi_ref, wp_hi_ref, wp_lo_ref, wq_hi_ref, wq_lo_ref, t1r_ref,
+            t1i_ref, t2r_ref, t2i_ref, hr_ref, hi_ref, prer_ref, prei_ref,
+            postr_ref, posti_ref, or_ref, oi_ref):
     """(tb*p, q) [j1, j2] -> (tb*p, q) [k2'', k1''] = flat natural order."""
-    f32 = jnp.float32
-    kw = dict(preferred_element_type=f32)
 
     def dot3(x, w_hi, w_lo, dims):
-        if precision != "bf16x3":
-            return jax.lax.dot_general(x, w_hi, dims, precision=precision, **kw)
-        x_hi = x.astype(jnp.bfloat16)
-        x_lo = (x - x_hi.astype(f32)).astype(jnp.bfloat16)
-        return (
-            jax.lax.dot_general(x_hi, w_hi, dims, **kw)
-            + jax.lax.dot_general(x_hi, w_lo, dims, **kw)
-            + jax.lax.dot_general(x_lo, w_hi, dims, **kw)
-        )
+        return contract_rhs(x, w_hi, w_lo, dims, precision)
 
     def dot3_wlhs(w_hi, w_lo, x, dims):
-        if precision != "bf16x3":
-            return jax.lax.dot_general(w_hi, x, dims, precision=precision, **kw)
-        x_hi = x.astype(jnp.bfloat16)
-        x_lo = (x - x_hi.astype(f32)).astype(jnp.bfloat16)
-        return (
-            jax.lax.dot_general(w_hi, x_hi, dims, **kw)
-            + jax.lax.dot_general(w_lo, x_hi, dims, **kw)
-            + jax.lax.dot_general(w_hi, x_lo, dims, **kw)
-        )
+        return contract_wlhs(w_hi, w_lo, x, dims, precision)
 
     sub = (((1,), (1,)), ((), ()))
     # contracting wq's dim 1 right-multiplies by block_mid^T == block_last
@@ -107,11 +89,14 @@ def _kernel(p, q, tb, precision, conj_out, xr_ref, xi_ref, wp_hi_ref,
     xr = xr_ref[:].reshape(tb, p, q)
     xi = xi_ref[:].reshape(tb, p, q)
 
-    # optional pre-multiply (Bluestein chirp; zero beyond n => padding)
-    pr = prer_ref[:]  # (p, q) [j1, j2]
-    pi = prei_ref[:]
-    vr = xr * pr - xi * pi
-    vi = xr * pi + xi * pr
+    if has_pre:
+        # pre-multiply (Bluestein chirp; zero beyond n => padding)
+        pr = prer_ref[:]  # (p, q) [j1, j2]
+        pi = prei_ref[:]
+        vr = xr * pr - xi * pi
+        vi = xr * pi + xi * pr
+    else:
+        vr, vi = xr, xi
 
     # ---- FFT #1, stage A: DFT_p over sublane j1 ----
     xb = jnp.concatenate([vr, vi], axis=1)  # (tb, 2p, q)
@@ -154,10 +139,13 @@ def _kernel(p, q, tb, precision, conj_out, xr_ref, xi_ref, wp_hi_ref,
 
     if conj_out:
         ei = -ei
-    postr = postr_ref[:]  # (p, q) in the same flat layout
-    posti = posti_ref[:]
-    outr = er * postr - ei * posti
-    outi = er * posti + ei * postr
+    if has_post:
+        postr = postr_ref[:]  # (p, q) in the same flat layout
+        posti = posti_ref[:]
+        outr = er * postr - ei * posti
+        outi = er * posti + ei * postr
+    else:
+        outr, outi = er, ei
     or_ref[:] = outr.reshape(tb * p, q)
     oi_ref[:] = outi.reshape(tb * p, q)
 
@@ -175,13 +163,9 @@ def make_bluestein_fn(
     bluesteins_algorithm.rs:62-87): chirp as pre/post tables, inner-FFT
     spectrum of the symmetric-wrapped scaled conjugate chirp as H.
     """
-    chirp = twiddles.bluesteins_twiddles(n, direction)
-    h = twiddles.bluesteins_twiddles(n, direction.opposite()) / m
-    h_full = np.zeros(m, dtype=np.complex128)
-    h_full[0] = h[0]
-    h_full[1:n] = h[1:]
-    h_full[m - n + 1 :] = h[1:][::-1]
-    h_fft = twiddles.host_dft(h_full, direction)
+    from ..bluestein import bluestein_tables
+
+    chirp, h_fft = bluestein_tables(n, m, direction)
     return make_conv_fn(
         m,
         direction,
@@ -210,31 +194,10 @@ def make_raders_fn(
     hoisted out of the kernel: FFT(c + conj(x0)*e0) = FFT(c) + conj(x0), so
     the fixup becomes one fused elementwise add after the kernel.
     """
-    from ... import math_utils
+    from ..raders import raders_tables
 
     m = p_prime - 1
-    g = math_utils.primitive_root(p_prime)
-    g_inv = math_utils.mod_inverse(g, p_prime)
-
-    perm_in = np.empty(m, dtype=np.int64)
-    idx = 1
-    for i in range(m):
-        idx = idx * g % p_prime
-        perm_in[i] = idx
-    out_idx = np.empty(m, dtype=np.int64)
-    idx = 1
-    for i in range(m):
-        idx = idx * g_inv % p_prime
-        out_idx[i] = idx
-    inv_gather = np.empty(m, dtype=np.int64)
-    inv_gather[out_idx - 1] = np.arange(m)
-
-    b = np.empty(m, dtype=np.complex128)
-    t = 1
-    for i in range(m):
-        b[i] = twiddles.compute_twiddle(t, p_prime, direction)
-        t = t * g_inv % p_prime
-    b_fft = twiddles.host_dft(b / m, direction)
+    perm_in, inv_gather, b_fft = raders_tables(p_prime, direction)
 
     core = make_conv_fn(m, direction, dtype, h=b_fft, interpret=interpret)
     perm_in32 = perm_in.astype(np.int32)
@@ -287,24 +250,31 @@ def make_conv_fn(
     n_out = n_out or m
     if precision is None:
         precision = config.pallas_precision
+    if interpret and precision == "bf16x3":
+        # the interpreter lowers dots through XLA, whose dot merger re-fuses
+        # the hi/lo bf16x3 passes and destroys the correction terms; use
+        # true f32 there (interpret mode is for testing, not speed)
+        precision = jax.lax.Precision.HIGHEST
     rdt = np.float32
 
-    # pre table doubles as the zero-padding mask: entries >= n_in are zero
-    pre_full = np.zeros(m, dtype=np.complex128)
+    # pre table doubles as the zero-padding mask: entries >= n_in are zero.
+    # When there is no pre table and no padding (Rader: n_in == m), the
+    # kernel skips the multiply entirely (has_pre=False -> dummy table).
+    has_pre = pre is not None or n_in < m
+    pre_full = np.zeros(m if has_pre else 1, dtype=np.complex128)
     if pre is not None:
         pre_full[: len(pre)] = pre
-    else:
+    elif has_pre:
         pre_full[:n_in] = 1.0
+    has_post = post is not None
+    post_full = np.zeros(m if has_post else 1, dtype=np.complex128)
     if post is not None:
-        post_full = np.zeros(m, dtype=np.complex128)
         post_full[: len(post)] = post
-    else:
-        post_full = np.ones(m, dtype=np.complex128)
 
-    # tables in the layouts the kernel consumes
-    pre2 = pre_full.reshape(p, q)  # [j1, j2]
+    # tables in the layouts the kernel consumes (dummies stay (1, 1))
+    pre2 = pre_full.reshape(p, q) if has_pre else pre_full.reshape(1, 1)
     h2 = np.ascontiguousarray(h.reshape(q, p).T)  # [k1, k2]
-    post2 = post_full.reshape(p, q)  # [k2'', k1''] flat
+    post2 = post_full.reshape(p, q) if has_post else post_full.reshape(1, 1)
 
     wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)
     wq = calg.block_mid(twiddles.dft_matrix(q, direction), rdt)
@@ -338,7 +308,9 @@ def make_conv_fn(
             xr = jnp.pad(xr, ((0, pad_b), (0, 0)))
             xi = jnp.pad(xi, ((0, pad_b), (0, 0)))
         bpad = batch + pad_b
-        kernel = functools.partial(_kernel, p, q, tb, precision, conj_out)
+        kernel = functools.partial(
+            _kernel, p, q, tb, precision, conj_out, has_pre, has_post
+        )
         bspec = pl.BlockSpec((tb * p, q), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
         def cspec(w):

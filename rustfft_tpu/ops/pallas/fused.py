@@ -124,6 +124,10 @@ def _dot3(x: jnp.ndarray, w_hi, w_lo, dims):
     x @ w ~= x_hi@w_hi + x_hi@w_lo + x_lo@w_hi — the dropped lo@lo term is
     O(2^-16) relative.  This is the manual version of XLA's HIGHEST f32
     emulation at half the passes (Mosaic rejects Precision.HIGH in-kernel).
+
+    Mosaic-only: lowered through XLA (interpret mode / CPU) the dot merger
+    re-fuses the hi/lo passes and cancels the correction terms — callers
+    substitute Precision.HIGHEST there.
     """
     x_hi = x.astype(jnp.bfloat16)
     x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -132,6 +136,36 @@ def _dot3(x: jnp.ndarray, w_hi, w_lo, dims):
         jax.lax.dot_general(x_hi, w_hi, dims, **kw)
         + jax.lax.dot_general(x_hi, w_lo, dims, **kw)
         + jax.lax.dot_general(x_lo, w_hi, dims, **kw)
+    )
+
+
+def _dot3_wlhs(w_hi, w_lo, x: jnp.ndarray, dims):
+    """Weights-as-lhs twin of _dot3: out[k, ...] = sum_j w[k, j] x[..j..]."""
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    kw = dict(preferred_element_type=jnp.float32)
+    return (
+        jax.lax.dot_general(w_hi, x_hi, dims, **kw)
+        + jax.lax.dot_general(w_lo, x_hi, dims, **kw)
+        + jax.lax.dot_general(w_hi, x_lo, dims, **kw)
+    )
+
+
+def contract_rhs(x, w_hi, w_lo, dims, precision):
+    """Precision-dispatching contraction with x as lhs (shared by kernels)."""
+    if precision == "bf16x3":
+        return _dot3(x, w_hi, w_lo, dims)
+    return jax.lax.dot_general(
+        x, w_hi, dims, preferred_element_type=jnp.float32, precision=precision
+    )
+
+
+def contract_wlhs(w_hi, w_lo, x, dims, precision):
+    """Precision-dispatching contraction with the weights as lhs."""
+    if precision == "bf16x3":
+        return _dot3_wlhs(w_hi, w_lo, x, dims)
+    return jax.lax.dot_general(
+        w_hi, x, dims, preferred_element_type=jnp.float32, precision=precision
     )
 
 
@@ -150,12 +184,7 @@ def _fused_kernel(p, q, tb, precision, variant, xr_ref, xi_ref, wp_hi_ref,
     sub_dims = (((1,), (1,)), ((), ()))
 
     def contract(x, w_hi_ref, w_lo_ref):
-        if precision == "bf16x3":
-            return _dot3(x, w_hi_ref[:], w_lo_ref[:], sub_dims)
-        return jax.lax.dot_general(
-            x, w_hi_ref[:], sub_dims,
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        return contract_rhs(x, w_hi_ref[:], w_lo_ref[:], sub_dims, precision)
 
     xr = xr_ref[:].reshape(tb, p, q)
     xi = xi_ref[:].reshape(tb, p, q)
@@ -180,21 +209,7 @@ def _fused_kernel(p, q, tb, precision, variant, xr_ref, xi_ref, wp_hi_ref,
         # weights-as-lhs keeps the lane axis (k1) untouched; output arrives
         # (2q, tb, p) [k2, b, k1] and a lane-preserving leading permute puts
         # it in natural order — no lane<->sublane transpose anywhere.
-        if precision == "bf16x3":
-            b_hi = bb.astype(jnp.bfloat16)
-            b_lo = (bb - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            kw = dict(preferred_element_type=jnp.float32)
-            dims = (((1,), (1,)), ((), ()))
-            d = (
-                jax.lax.dot_general(wq_hi_ref[:], b_hi, dims, **kw)
-                + jax.lax.dot_general(wq_lo_ref[:], b_hi, dims, **kw)
-                + jax.lax.dot_general(wq_hi_ref[:], b_lo, dims, **kw)
-            )
-        else:
-            d = jax.lax.dot_general(
-                wq_hi_ref[:], bb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
+        d = contract_wlhs(wq_hi_ref[:], wq_lo_ref[:], bb, sub_dims, precision)
         d = jnp.transpose(d, (1, 0, 2))  # (tb, 2q, p) [b, k2, k1]
         or_ref[:] = d[:, :q, :].reshape(tb * q, p)
         oi_ref[:] = d[:, q:, :].reshape(tb * q, p)
@@ -236,6 +251,11 @@ def make_fused_two_stage_fn(
     rdt = np.float32
     if precision is None:
         precision = config.pallas_precision
+    if interpret and precision == "bf16x3":
+        # under the Pallas interpreter the dots lower through XLA, whose dot
+        # merger re-fuses the hi/lo passes and cancels the correction terms
+        # (plain-bf16 accuracy on bf16-native backends); use true f32 there
+        precision = jax.lax.Precision.HIGHEST
 
     # Both stages contract the sublane axis against a block_mid DFT block
     # ([[Wr,-Wi],[Wi,Wr]]): stage 1 for DFT_p, stage 2 for DFT_q.

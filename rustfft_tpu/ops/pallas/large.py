@@ -43,15 +43,7 @@ from ...common import FftDirection
 from ...config import config
 from ... import twiddles
 from .. import calg
-from .fused import _split_bf16, _dot3
-
-
-def _contract(x, w_hi, w_lo, dims, precision):
-    if precision == "bf16x3":
-        return _dot3(x, w_hi, w_lo, dims)
-    return jax.lax.dot_general(
-        x, w_hi, dims, preferred_element_type=jnp.float32, precision=precision
-    )
+from .fused import _split_bf16, contract_rhs as _contract, contract_wlhs
 
 
 def _kernel_a(p, qt, precision, xr_ref, xi_ref, wp_hi_ref, wp_lo_ref,
@@ -87,20 +79,7 @@ def _kernel_b(q1, q2, pt, precision, variant, xr_ref, xi_ref, w1_hi_ref,
         leading and the lane axis is untouched, so no relayout is needed.
         """
         dims = (((1,), (rhs_dim,)), ((), ()))
-        if precision == "bf16x3":
-            w_hi, w_lo = w_hi_ref[:], w_lo_ref[:]
-            x_hi = x.astype(jnp.bfloat16)
-            x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            kw = dict(preferred_element_type=jnp.float32)
-            return (
-                jax.lax.dot_general(w_hi, x_hi, dims, **kw)
-                + jax.lax.dot_general(w_lo, x_hi, dims, **kw)
-                + jax.lax.dot_general(w_hi, x_lo, dims, **kw)
-            )
-        return jax.lax.dot_general(
-            w_hi_ref[:], x, dims,
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        return contract_wlhs(w_hi_ref[:], w_lo_ref[:], x, dims, precision)
 
     # stage 1: DFT_q1 over ja
     if variant == "wlhs":
@@ -204,6 +183,11 @@ def make_large_fft_fn(
     assert p * q == n
     if precision is None:
         precision = config.pallas_precision
+    if interpret and precision == "bf16x3":
+        # the interpreter lowers dots through XLA, whose dot merger re-fuses
+        # the hi/lo bf16x3 passes and destroys the correction terms; use
+        # true f32 there (interpret mode is for testing, not speed)
+        precision = jax.lax.Precision.HIGHEST
     rdt = np.float32
 
     qt = min(qt, q)

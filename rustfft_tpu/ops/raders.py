@@ -23,28 +23,29 @@ from .. import math_utils, twiddles
 from . import calg
 
 
-def make_raders_fn(
-    p: int,
-    inner_fn: Callable,
-    direction: FftDirection,
-    dtype,
-):
-    """Return fn: Cplx (..., p) -> Cplx (..., p). inner_fn: length p-1 FFT."""
-    assert math_utils.is_prime(p), f"Rader's algorithm requires prime length, got {p}"
+def raders_tables(p: int, direction: FftDirection):
+    """Plan-time constants shared by the XLA and Pallas Rader paths.
+
+    Returns (perm_in, inv_gather, b_fft):
+    * perm_in — input gather a[i] = x[g^(i+1) mod p]
+      (raders_algorithm.rs:185-191),
+    * inv_gather — the output scatter out[g^-(i+1)] = conj(D[i]) expressed
+      as a gather (raders_algorithm.rs:228-233),
+    * b_fft — inner-FFT spectrum of b[i] = w_p^(g^-i) / (p-1)
+      (raders_algorithm.rs:86-109), complex128.
+    """
+    if not math_utils.is_prime(p):
+        raise ValueError(f"Rader's algorithm requires prime length, got {p}")
     m = p - 1
     g = math_utils.primitive_root(p)
     g_inv = math_utils.mod_inverse(g, p)
-    rdt = calg.real_dtype_of(dtype)
 
-    # input gather: a[i] = x[g^(i+1) mod p]  (raders_algorithm.rs:185-191)
     perm_in = np.empty(m, dtype=np.int64)
     idx = 1
     for i in range(m):
         idx = idx * g % p
         perm_in[i] = idx
 
-    # output scatter out[g^-(i+1) mod p] = conj(D[i]) (raders_algorithm.rs:228-233),
-    # expressed as a gather: out[1..p][t] = conj(D[inv_gather[t]])
     out_idx = np.empty(m, dtype=np.int64)
     idx = 1
     for i in range(m):
@@ -53,13 +54,24 @@ def make_raders_fn(
     inv_gather = np.empty(m, dtype=np.int64)
     inv_gather[out_idx - 1] = np.arange(m)
 
-    # plan-time: inner-FFT spectrum of b[i] = w_p^(g^-i) / (p-1)
     b = np.empty(m, dtype=np.complex128)
     t = 1
     for i in range(m):
         b[i] = twiddles.compute_twiddle(t, p, direction)
         t = t * g_inv % p
     b_fft = twiddles.host_dft(b / m, direction)
+    return perm_in, inv_gather, b_fft
+
+
+def make_raders_fn(
+    p: int,
+    inner_fn: Callable,
+    direction: FftDirection,
+    dtype,
+):
+    """Return fn: Cplx (..., p) -> Cplx (..., p). inner_fn: length p-1 FFT."""
+    rdt = calg.real_dtype_of(dtype)
+    perm_in, inv_gather, b_fft = raders_tables(p, direction)
     bfr = b_fft.real.astype(rdt)
     bfi = b_fft.imag.astype(rdt)
 

@@ -33,7 +33,6 @@ Steps (local shapes for mesh axis size D; requires p % D == 0, q % D == 0):
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax

@@ -109,6 +109,33 @@ class _PlannerBase:
     ) -> recipes.Recipe:
         raise NotImplementedError
 
+    def _reference_prime_recipe(
+        self, length: int, raders_factors: PrimeFactors
+    ) -> recipes.Recipe:
+        """The reference Rader's-vs-Bluestein's rule (plan.rs:636-665).
+
+        Rader's if n-1 has no prime factor > MAX_RADER_PRIME_FACTOR, else
+        Bluestein's with inner size = next-pow2(2n-1), or 3*2^(k-2) when
+        that still clears the bound.
+        """
+        if any(
+            f.value > MAX_RADER_PRIME_FACTOR
+            for f in raders_factors.get_other_factors()
+        ):
+            inner_len = min(_bluestein_inner_candidates(length))
+            return recipes.Bluesteins(length, self.design_fft_for_len(inner_len))
+        inner_fft = self.design_fft_with_factors(length - 1, raders_factors)
+        return recipes.Raders(inner_fft)
+
+
+def _bluestein_inner_candidates(length: int) -> Tuple[int, ...]:
+    """Valid Bluestein inner sizes >= 2n-1: next pow2, and 3*2^(k-2) when it
+    still clears the bound (plan.rs:645-657)."""
+    min_inner = 2 * length - 1
+    pow2 = 1 << (min_inner - 1).bit_length()
+    three = pow2 // 4 * 3
+    return (pow2, three) if three >= min_inner else (pow2,)
+
 
 class FftPlannerScalar(_PlannerBase):
     """Exact port of the reference scalar planner's decision tree.
@@ -244,26 +271,9 @@ class FftPlannerScalar(_PlannerBase):
 
     def _design_prime(self, length: int) -> recipes.Recipe:
         """Rader's vs Bluestein's for prime n (plan.rs:636-665)."""
-        inner_len_rader = length - 1
-        raders_factors = PrimeFactors.compute(inner_len_rader)
-        if any(
-            f.value > MAX_RADER_PRIME_FACTOR
-            for f in raders_factors.get_other_factors()
-        ):
-            # Bluestein's: inner = next pow2 >= 2n-1, or 3*2^(k-2) when that
-            # still clears the bound (plan.rs:645-657)
-            min_inner_len = 2 * length - 1
-            inner_len_pow2 = 1 << (min_inner_len - 1).bit_length()
-            inner_len_factor3 = inner_len_pow2 // 4 * 3
-            inner_len = (
-                inner_len_factor3
-                if inner_len_factor3 >= min_inner_len
-                else inner_len_pow2
-            )
-            inner_fft = self.design_fft_for_len(inner_len)
-            return recipes.Bluesteins(length, inner_fft)
-        inner_fft = self.design_fft_with_factors(inner_len_rader, raders_factors)
-        return recipes.Raders(inner_fft)
+        return self._reference_prime_recipe(
+            length, PrimeFactors.compute(length - 1)
+        )
 
 
 class FftPlannerTpu(_PlannerBase):
@@ -316,11 +326,7 @@ class FftPlannerTpu(_PlannerBase):
         """Smallest conv-kernel-aligned inner size m >= 2*length - 1, if any."""
         from .ops.pallas import conv
 
-        min_inner = 2 * length - 1
-        pow2 = 1 << (min_inner - 1).bit_length()
-        three = pow2 // 4 * 3
-        candidates = sorted(m for m in (pow2, three) if m >= min_inner)
-        for m in candidates:
+        for m in sorted(_bluestein_inner_candidates(length)):
             if conv.conv_supported(m, self.dtype):
                 return m
         return None
@@ -332,22 +338,44 @@ class FftPlannerTpu(_PlannerBase):
         # fused-kernel stages MXU-shaped (neither factor degenerates into a
         # tiny contraction) and the recursion depth — i.e. passes over HBM —
         # at ceil(log_base(n)) of the dense-DFT leaf size.
-        p = self._choose_left_factor(length)
+        p = self._choose_left_factor(length, factors)
         q = length // p
         left = self.design_fft_for_len(p)
         right = self.design_fft_for_len(q)
         return recipes.MixedRadix(left, right)
 
-    def _choose_left_factor(self, length: int) -> int:
-        # Largest divisor <= sqrt(n); composite n always has one in
-        # [2, sqrt(n)] (its smallest prime factor).
+    @staticmethod
+    def _choose_left_factor(length: int, factors: PrimeFactors) -> int:
+        # Largest divisor <= sqrt(n), enumerated from the prime factorization
+        # (a raw scan down from sqrt(n) costs ~1e6 trial divisions for
+        # n = 2 * large_prime).  Composite n always has one in [2, sqrt(n)].
         target = math.isqrt(length)
-        best = None
-        for p in range(target, 1, -1):
-            if length % p == 0:
-                best = p
-                break
-        assert best is not None, length
+        primes = []
+        if factors.get_power_of_two():
+            primes.append((2, factors.get_power_of_two()))
+        if factors.get_power_of_three():
+            primes.append((3, factors.get_power_of_three()))
+        primes.extend((f.value, f.count) for f in factors.get_other_factors())
+
+        best = 1
+
+        def walk(i: int, divisor: int) -> None:
+            nonlocal best
+            if divisor > best:
+                best = divisor
+            if i == len(primes):
+                return
+            value, count = primes[i]
+            d = divisor
+            walk(i + 1, d)
+            for _ in range(count):
+                d *= value
+                if d > target:
+                    break
+                walk(i + 1, d)
+
+        walk(0, 1)
+        assert best > 1, length
         return best
 
     def _design_prime(self, length: int) -> recipes.Recipe:
@@ -367,22 +395,7 @@ class FftPlannerTpu(_PlannerBase):
             m = self._aligned_conv_inner(length)
             if m is not None:
                 return recipes.Bluesteins(length, self.design_fft_for_len(m))
-        if any(
-            f.value > MAX_RADER_PRIME_FACTOR
-            for f in raders_factors.get_other_factors()
-        ):
-            min_inner_len = 2 * length - 1
-            inner_len_pow2 = 1 << (min_inner_len - 1).bit_length()
-            inner_len_factor3 = inner_len_pow2 // 4 * 3
-            inner_len = (
-                inner_len_factor3
-                if inner_len_factor3 >= min_inner_len
-                else inner_len_pow2
-            )
-            inner_fft = self.design_fft_for_len(inner_len)
-            return recipes.Bluesteins(length, inner_fft)
-        inner_fft = self.design_fft_with_factors(inner_len_rader, raders_factors)
-        return recipes.Raders(inner_fft)
+        return self._reference_prime_recipe(length, raders_factors)
 
 
 class FftPlanner(_PlannerBase):

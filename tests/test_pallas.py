@@ -42,8 +42,18 @@ def test_fused_unbalanced_split():
 
 
 def test_fused_batch_padding():
-    # batch not divisible by the tile size exercises the pad/unpad path
-    assert _run_fused(256, FftDirection.FORWARD, batch=5) < 1e-2
+    # batch not divisible by an explicit tile size exercises the pad/unpad
+    # path (auto tb would shrink to the batch and never pad)
+    fn = fused.make_fused_two_stage_fn(
+        256, FftDirection.FORWARD, np.complex64, interpret=True, batch_tile=4
+    )
+    sig = random_signal(5 * 256, dtype=np.complex64, seed=5).reshape(5, 256)
+    re, im = calg.from_numpy(sig, np.float32)
+    out_r, out_i = fn((re, im))
+    assert out_r.shape == (5, 256)
+    out = np.asarray(out_r) + 1j * np.asarray(out_i)
+    err = mean_element_error(out, oracle_dft(sig, FftDirection.FORWARD))
+    assert err < 1e-2
 
 
 def test_fused_unsupported_sizes():
