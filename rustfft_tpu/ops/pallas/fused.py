@@ -169,6 +169,20 @@ def contract_wlhs(w_hi, w_lo, x, dims, precision):
     )
 
 
+def contract_pair(xr, xi, wA, wB, dims, precision):
+    """Complex-pair contraction without materializing the [re; im] concat.
+
+    Computes dot(xr, wA) + dot(xi, wB) where (wA, wB) are the two K-halves
+    of a block DFT matrix — the same result as concatenating [xr; xi] along
+    the contraction axis and contracting the full block, minus two whole-tile
+    VMEM copies.  wA/wB arrive as (hi, lo) pairs like everywhere else.
+    """
+    (wA_hi, wA_lo), (wB_hi, wB_lo) = wA, wB
+    return contract_rhs(xr, wA_hi, wA_lo, dims, precision) + contract_rhs(
+        xi, wB_hi, wB_lo, dims, precision
+    )
+
+
 def _fused_kernel(p, q, tb, precision, variant, xr_ref, xi_ref, wp_hi_ref,
                   wp_lo_ref, wq_hi_ref, wq_lo_ref, twr_ref, twi_ref,
                   or_ref, oi_ref):
@@ -228,6 +242,49 @@ def _fused_kernel(p, q, tb, precision, variant, xr_ref, xi_ref, wp_hi_ref,
         oi_ref[:] = di.reshape(tb * p, q)
 
 
+def _fused_kernel_twodot(p, q, tb, precision, transpose_in, xr_ref, xi_ref,
+                         wpA_hi_ref, wpA_lo_ref, wpB_hi_ref, wpB_lo_ref,
+                         wqA_hi_ref, wqA_lo_ref, wqB_hi_ref, wqB_lo_ref,
+                         twr_ref, twi_ref, or_ref, oi_ref):
+    """Concat-free variant: each stage is two half-K dots (contract_pair).
+
+    Same math as _fused_kernel; saves two whole-tile VMEM copies per stage.
+    """
+    sub_dims = (((1,), (1,)), ((), ()))
+    xr = xr_ref[:].reshape(tb, p, q)
+    xi = xi_ref[:].reshape(tb, p, q)
+
+    # stage 1: DFT_p over sublane j1 -> (tb, q, 2p) [j2, k1]
+    a = contract_pair(
+        xr, xi,
+        (wpA_hi_ref[:], wpA_lo_ref[:]),
+        (wpB_hi_ref[:], wpB_lo_ref[:]),
+        sub_dims, precision,
+    )
+    ar = a[:, :, :p]
+    ai = a[:, :, p:]
+    twr = twr_ref[:]
+    twi = twi_ref[:]
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr  # (tb, q, p) [j2, k1]
+
+    # stage 2: DFT_q over sublane j2 -> (tb, p, 2q) [k1, k2]
+    d = contract_pair(
+        br, bi,
+        (wqA_hi_ref[:], wqA_lo_ref[:]),
+        (wqB_hi_ref[:], wqB_lo_ref[:]),
+        sub_dims, precision,
+    )
+    dr = d[:, :, :q]
+    di = d[:, :, q:]
+    if transpose_in:
+        or_ref[:] = jnp.swapaxes(dr, -1, -2).reshape(tb * q, p)
+        oi_ref[:] = jnp.swapaxes(di, -1, -2).reshape(tb * q, p)
+    else:
+        or_ref[:] = dr.reshape(tb * p, q)
+        oi_ref[:] = di.reshape(tb * p, q)
+
+
 def make_fused_two_stage_fn(
     n: int,
     direction: FftDirection,
@@ -272,13 +329,32 @@ def make_fused_two_stage_fn(
     twr = np.ascontiguousarray(tw.real).astype(rdt)
     twi = np.ascontiguousarray(tw.imag).astype(rdt)
 
-    # "wlhs" and "transpose_in_kernel" both emit natural-order (tb*q, p)
-    transpose_in_kernel = variant != "transpose_outside"
+    # "twodot"/"wlhs"/"transpose_in_kernel" emit natural-order (tb*q, p)
+    # (twodot only when p fills the VPU lanes, mirroring the default rule)
+    twodot = variant == "twodot"
+    transpose_in_kernel = twodot and p >= 128 or variant == "transpose_in_kernel" or variant == "wlhs"
+    if twodot:
+        # half-K blocks: stage contraction = dot(xr, wA) + dot(xi, wB)
+        consts = []
+        for w in (wp[:, :p], wp[:, p:], wq[:, :q], wq[:, q:]):
+            w = np.ascontiguousarray(w)
+            if precision == "bf16x3":
+                consts.extend(_split_bf16(w))
+            else:
+                consts.extend((w, np.zeros_like(w, dtype=jnp.bfloat16)))
+        consts.extend((twr, twi))
+    else:
+        consts = [wp_hi, wp_lo, wq_hi, wq_lo, twr, twi]
 
     def call(xr, xi, tb):
         batch = xr.shape[0]
         grid = batch // tb
-        kernel = functools.partial(_fused_kernel, p, q, tb, precision, variant)
+        if twodot:
+            kernel = functools.partial(
+                _fused_kernel_twodot, p, q, tb, precision, transpose_in_kernel
+            )
+        else:
+            kernel = functools.partial(_fused_kernel, p, q, tb, precision, variant)
         # 2D blocks: measurably faster DMA than equivalent 3D blocks
         out_block = (tb * q, p) if transpose_in_kernel else (tb * p, q)
         in_bspec = pl.BlockSpec((tb * p, q), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -290,8 +366,7 @@ def make_fused_two_stage_fn(
         out_r, out_i = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[in_bspec, in_bspec]
-            + [const_spec(w) for w in (wp_hi, wp_lo, wq_hi, wq_lo, twr, twi)],
+            in_specs=[in_bspec, in_bspec] + [const_spec(w) for w in consts],
             out_specs=[out_bspec, out_bspec],
             out_shape=[
                 jax.ShapeDtypeStruct((grid * out_block[0], out_block[1]), jnp.float32),
@@ -304,12 +379,7 @@ def make_fused_two_stage_fn(
         )(
             xr.reshape(batch * p, q),
             xi.reshape(batch * p, q),
-            jnp.asarray(wp_hi),
-            jnp.asarray(wp_lo),
-            jnp.asarray(wq_hi),
-            jnp.asarray(wq_lo),
-            jnp.asarray(twr),
-            jnp.asarray(twi),
+            *[jnp.asarray(w) for w in consts],
         )
         if not transpose_in_kernel:
             out_r = jnp.swapaxes(out_r.reshape(batch, p, q), -1, -2)

@@ -82,7 +82,7 @@ def main():
         combos = [
             ("transpose_in_kernel", "bf16x3", None),
             ("transpose_outside", "bf16x3", None),
-            ("transpose_outside", P.DEFAULT, None),
+            ("twodot", "bf16x3", None),
         ]
         for variant, prec, tb in combos:
             pname = prec if isinstance(prec, str) else ("f32x6" if prec == P.HIGHEST else "bf16")
