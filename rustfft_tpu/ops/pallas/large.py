@@ -147,8 +147,10 @@ def choose_pqq(n: int) -> Optional[Tuple[int, int, int]]:
         q = q1 * q2
         if 8 * q * 128 * 4 > int(config.pallas_vmem_limit * 0.85):
             continue
-        work = p + q1 + q2  # bf16 passes per element / 24
-        key = (work, abs(p * p - n) )  # prefer balanced P vs Q
+        # measured on v5e (2^20 sweep): the largest P up to 256 wins (smaller
+        # kernel-B tiles dominate; beyond 256 kernel A goes compute-bound),
+        # with balanced q1 == q2 preferred within that
+        key = (0 if p <= 256 else 1, -p if p <= 256 else p, q1 + q2, abs(q1 - q2))
         if best is None or key < best[0]:
             best = (key, p, q1, q2)
     if best is None:
