@@ -88,6 +88,9 @@ class _PlannerBase:
 
     # -- recipe design entry (plan.rs:312-323) --
     def design_fft_for_len(self, length: int) -> recipes.Recipe:
+        if length < 0:
+            # unrepresentable in the reference (usize); explicit error here
+            raise ValueError(f"FFT length must be >= 0, got {length}")
         if length < 2:
             return recipes.Dft(length)
         cached = self.recipe_cache.get(length)

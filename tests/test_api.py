@@ -143,3 +143,10 @@ def test_process_device_arrays_stay_on_device():
     np.testing.assert_allclose(
         np.asarray(out2).reshape(2, 96), np.asarray(out), rtol=0, atol=1e-5
     )
+
+
+def test_negative_length_rejected():
+    from rustfft_tpu import FftPlanner
+
+    with pytest.raises(ValueError):
+        FftPlanner().plan_fft_forward(-1)
