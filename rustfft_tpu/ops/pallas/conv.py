@@ -69,11 +69,16 @@ def _pick_batch_tile(batch: int, m: int) -> int:
     return max(1, min(tb, 128, batch))
 
 
-def _kernel(p, q, tb, precision, conj_out, has_pre, has_post, xr_ref,
-            xi_ref, wp_hi_ref, wp_lo_ref, wq_hi_ref, wq_lo_ref, t1r_ref,
-            t1i_ref, t2r_ref, t2i_ref, hr_ref, hi_ref, prer_ref, prei_ref,
-            postr_ref, posti_ref, or_ref, oi_ref):
-    """(tb*p, q) [j1, j2] -> (tb*p, q) [k2'', k1''] = flat natural order."""
+def _kernel(p, q, tb, p_in, p_out, precision, conj_out, has_pre, has_post,
+            xr_ref, xi_ref, wp_hi_ref, wp_lo_ref, wq_hi_ref, wq_lo_ref,
+            t1r_ref, t1i_ref, t2r_ref, t2i_ref, hr_ref, hi_ref, prer_ref,
+            prei_ref, postr_ref, posti_ref, or_ref, oi_ref):
+    """(tb*p_in, q) [j1, j2] -> (tb*p_out, q) [k2'', k1''] flat natural order.
+
+    Only the first p_in row-groups carry input (the rest of the length-m
+    buffer is zero — synthesized in VMEM instead of streamed from HBM), and
+    only the first p_out row-groups of the result are written back.
+    """
 
     def dot3(x, w_hi, w_lo, dims):
         return contract_rhs(x, w_hi, w_lo, dims, precision)
@@ -86,17 +91,22 @@ def _kernel(p, q, tb, precision, conj_out, has_pre, has_post, xr_ref,
     # (DFT matrices are symmetric), the correct form for [re | im] lane packs
     lane = (((2,), (1,)), ((), ()))
 
-    xr = xr_ref[:].reshape(tb, p, q)
-    xi = xi_ref[:].reshape(tb, p, q)
+    xr = xr_ref[:].reshape(tb, p_in, q)
+    xi = xi_ref[:].reshape(tb, p_in, q)
 
     if has_pre:
         # pre-multiply (Bluestein chirp; zero beyond n => padding)
-        pr = prer_ref[:]  # (p, q) [j1, j2]
+        pr = prer_ref[:]  # (p_in, q) [j1, j2]
         pi = prei_ref[:]
         vr = xr * pr - xi * pi
         vi = xr * pi + xi * pr
     else:
         vr, vi = xr, xi
+    if p_in < p:
+        # the zero-padded tail of the length-m buffer, never read from HBM
+        zeros = jnp.zeros((tb, p - p_in, q), jnp.float32)
+        vr = jnp.concatenate([vr, zeros], axis=1)
+        vi = jnp.concatenate([vi, zeros], axis=1)
 
     # ---- FFT #1, stage A: DFT_p over sublane j1 ----
     xb = jnp.concatenate([vr, vi], axis=1)  # (tb, 2p, q)
@@ -137,17 +147,19 @@ def _kernel(p, q, tb, precision, conj_out, has_pre, has_post, xr_ref,
     e = jnp.transpose(e, (1, 0, 2))  # (tb, 2p, q) — lane-preserving permute
     er, ei = e[:, :p, :], e[:, p:, :]  # (tb, p, q) [k2'', k1''] = flat natural
 
+    er = er[:, :p_out, :]
+    ei = ei[:, :p_out, :]
     if conj_out:
         ei = -ei
     if has_post:
-        postr = postr_ref[:]  # (p, q) in the same flat layout
+        postr = postr_ref[:]  # (p_out, q) in the same flat layout
         posti = posti_ref[:]
         outr = er * postr - ei * posti
         outi = er * posti + ei * postr
     else:
         outr, outi = er, ei
-    or_ref[:] = outr.reshape(tb * p, q)
-    oi_ref[:] = outi.reshape(tb * p, q)
+    or_ref[:] = outr.reshape(tb * p_out, q)
+    oi_ref[:] = outi.reshape(tb * p_out, q)
 
 
 def make_bluestein_fn(
@@ -257,24 +269,30 @@ def make_conv_fn(
         precision = jax.lax.Precision.HIGHEST
     rdt = np.float32
 
-    # pre table doubles as the zero-padding mask: entries >= n_in are zero.
-    # When there is no pre table and no padding (Rader: n_in == m), the
-    # kernel skips the multiply entirely (has_pre=False -> dummy table).
-    has_pre = pre is not None or n_in < m
-    pre_full = np.zeros(m if has_pre else 1, dtype=np.complex128)
+    # only ceil(n/q) row-groups of the length-m buffer carry real input /
+    # wanted output; the rest is zero-synthesized in VMEM and never written,
+    # trimming the HBM pad/slice traffic around the kernel
+    p_in = -(-n_in // q)
+    p_out = -(-n_out // q)
+
+    # pre table doubles as the zero-padding mask for the partial last row.
+    # When there is no pre table and no sub-row padding (Rader: n_in == m),
+    # the kernel skips the multiply entirely (has_pre=False -> dummy table).
+    has_pre = pre is not None or n_in < p_in * q
+    pre_full = np.zeros(p_in * q if has_pre else 1, dtype=np.complex128)
     if pre is not None:
         pre_full[: len(pre)] = pre
     elif has_pre:
         pre_full[:n_in] = 1.0
     has_post = post is not None
-    post_full = np.zeros(m if has_post else 1, dtype=np.complex128)
+    post_full = np.zeros(p_out * q if has_post else 1, dtype=np.complex128)
     if post is not None:
-        post_full[: len(post)] = post
+        post_full[: min(len(post), p_out * q)] = post[: p_out * q]
 
     # tables in the layouts the kernel consumes (dummies stay (1, 1))
-    pre2 = pre_full.reshape(p, q) if has_pre else pre_full.reshape(1, 1)
+    pre2 = pre_full.reshape(p_in, q) if has_pre else pre_full.reshape(1, 1)
     h2 = np.ascontiguousarray(h.reshape(q, p).T)  # [k1, k2]
-    post2 = post_full.reshape(p, q) if has_post else post_full.reshape(1, 1)
+    post2 = post_full.reshape(p_out, q) if has_post else post_full.reshape(1, 1)
 
     wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)
     wq = calg.block_mid(twiddles.dft_matrix(q, direction), rdt)
@@ -309,9 +327,11 @@ def make_conv_fn(
             xi = jnp.pad(xi, ((0, pad_b), (0, 0)))
         bpad = batch + pad_b
         kernel = functools.partial(
-            _kernel, p, q, tb, precision, conj_out, has_pre, has_post
+            _kernel, p, q, tb, p_in, p_out, precision, conj_out, has_pre,
+            has_post,
         )
-        bspec = pl.BlockSpec((tb * p, q), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        in_bspec = pl.BlockSpec((tb * p_in, q), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        out_bspec = pl.BlockSpec((tb * p_out, q), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
         def cspec(w):
             return pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -319,20 +339,20 @@ def make_conv_fn(
         out_r, out_i = pl.pallas_call(
             kernel,
             grid=(bpad // tb,),
-            in_specs=[bspec, bspec] + [cspec(w) for w in consts],
-            out_specs=[bspec, bspec],
-            out_shape=[jax.ShapeDtypeStruct((bpad * p, q), jnp.float32)] * 2,
+            in_specs=[in_bspec, in_bspec] + [cspec(w) for w in consts],
+            out_specs=[out_bspec, out_bspec],
+            out_shape=[jax.ShapeDtypeStruct((bpad * p_out, q), jnp.float32)] * 2,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=config.pallas_vmem_limit
             ),
             interpret=interpret,
         )(
-            xr.reshape(bpad * p, q),
-            xi.reshape(bpad * p, q),
+            xr.reshape(bpad * p_in, q),
+            xi.reshape(bpad * p_in, q),
             *[jnp.asarray(w) for w in consts],
         )
-        out_r = out_r.reshape(bpad, m)[:batch, :n_out]
-        out_i = out_i.reshape(bpad, m)[:batch, :n_out]
+        out_r = out_r.reshape(bpad, p_out * q)[:batch, :n_out]
+        out_i = out_i.reshape(bpad, p_out * q)[:batch, :n_out]
         return out_r, out_i
 
     def apply(x):
@@ -340,9 +360,9 @@ def make_conv_fn(
         shape = xr.shape
         flat_r = xr.reshape(-1, shape[-1])
         flat_i = xi.reshape(-1, shape[-1])
-        if shape[-1] < m:  # zero-pad to m (pre-table already zeros the tail)
-            flat_r = jnp.pad(flat_r, ((0, 0), (0, m - shape[-1])))
-            flat_i = jnp.pad(flat_i, ((0, 0), (0, m - shape[-1])))
+        if shape[-1] < p_in * q:  # pad only to the trimmed row-group boundary
+            flat_r = jnp.pad(flat_r, ((0, 0), (0, p_in * q - shape[-1])))
+            flat_i = jnp.pad(flat_i, ((0, 0), (0, p_in * q - shape[-1])))
         out_r, out_i = call(flat_r, flat_i)
         return (
             out_r.reshape(shape[:-1] + (n_out,)),
