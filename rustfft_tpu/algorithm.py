@@ -11,6 +11,11 @@ constructors take `Arc<dyn Fft<T>>`.
 Here every constructor returns an `FftPlan` built from the corresponding
 recipe node — plans are the uniform `Fft`-trait analogue (plan.py), so
 hand-built algorithms compose with planner-built ones.
+
+All constructors build with `pinned=True`: the literal requested
+decomposition executes (no fused-Pallas-kernel substitution by the
+executor), so e.g. `Dft` stays an independent full-precision oracle.
+Planner-built plans are the performance path.
 """
 from __future__ import annotations
 
@@ -43,7 +48,7 @@ def Dft(length: int, direction: FftDirection, dtype=np.complex64) -> FftPlan:
     On TPU this is simultaneously the *fast* small-size path: one dense
     MXU matmul against the n x n DFT matrix.
     """
-    return FftPlan(recipes.Dft(length), direction, dtype)
+    return FftPlan(recipes.Dft(length), direction, dtype, pinned=True)
 
 
 def Butterfly(length: int, direction: FftDirection, dtype=np.complex64) -> FftPlan:
@@ -53,7 +58,7 @@ def Butterfly(length: int, direction: FftDirection, dtype=np.complex64) -> FftPl
             f"no butterfly of size {length}; reference set is "
             f"{sorted(BUTTERFLY_SIZES)} (plan.rs:610-634)"
         )
-    return FftPlan(recipes.Butterfly(length), direction, dtype)
+    return FftPlan(recipes.Butterfly(length), direction, dtype, pinned=True)
 
 
 def Radix4(length: int, direction: FftDirection, dtype=np.complex64) -> FftPlan:
@@ -66,10 +71,10 @@ def Radix4(length: int, direction: FftDirection, dtype=np.complex64) -> FftPlan:
         raise ValueError(f"Radix4 requires a power-of-two length, got {length}")
     bits = length.bit_length() - 1
     if bits <= 3:
-        return FftPlan(_leaf(length), direction, dtype)
+        return FftPlan(_leaf(length), direction, dtype, pinned=True)
     base = 16 if bits % 2 == 0 else 32
     k = (bits - base.bit_length() + 1) // 2
-    return FftPlan(recipes.Radix4(k, recipes.Butterfly(base)), direction, dtype)
+    return FftPlan(recipes.Radix4(k, recipes.Butterfly(base)), direction, dtype, pinned=True)
 
 
 def Radix3(length: int, direction: FftDirection, dtype=np.complex64) -> FftPlan:
@@ -81,23 +86,23 @@ def Radix3(length: int, direction: FftDirection, dtype=np.complex64) -> FftPlan:
     if n != 1:
         raise ValueError(f"Radix3 requires a power-of-three length, got {length}")
     if length <= 27:
-        return FftPlan(_leaf(length), direction, dtype)
+        return FftPlan(_leaf(length), direction, dtype, pinned=True)
     base = recipes.Butterfly(27)
-    return FftPlan(recipes.RadixN((3,) * (k - 3), base), direction, dtype)
+    return FftPlan(recipes.RadixN((3,) * (k - 3), base), direction, dtype, pinned=True)
 
 
 def MixedRadix(width_fft: FftPlan, height_fft: FftPlan) -> FftPlan:
     """Cooley-Tukey n = w*h six-step (algorithm/mixed_radix.rs:35-238)."""
     direction, dtype = _check_inner(width_fft, height_fft)
     recipe = recipes.MixedRadix(width_fft.recipe, height_fft.recipe)
-    return FftPlan(recipe, direction, dtype)
+    return FftPlan(recipe, direction, dtype, pinned=True)
 
 
 def MixedRadixSmall(width_fft: FftPlan, height_fft: FftPlan) -> FftPlan:
     """MixedRadix variant for butterfly-sized factors (mixed_radix.rs:266-507)."""
     direction, dtype = _check_inner(width_fft, height_fft)
     recipe = recipes.MixedRadixSmall(width_fft.recipe, height_fft.recipe)
-    return FftPlan(recipe, direction, dtype)
+    return FftPlan(recipe, direction, dtype, pinned=True)
 
 
 def GoodThomasAlgorithm(width_fft: FftPlan, height_fft: FftPlan) -> FftPlan:
@@ -111,7 +116,7 @@ def GoodThomasAlgorithm(width_fft: FftPlan, height_fft: FftPlan) -> FftPlan:
         )
     direction, dtype = _check_inner(width_fft, height_fft)
     recipe = recipes.GoodThomas(width_fft.recipe, height_fft.recipe)
-    return FftPlan(recipe, direction, dtype)
+    return FftPlan(recipe, direction, dtype, pinned=True)
 
 
 def GoodThomasAlgorithmSmall(width_fft: FftPlan, height_fft: FftPlan) -> FftPlan:
@@ -125,7 +130,7 @@ def GoodThomasAlgorithmSmall(width_fft: FftPlan, height_fft: FftPlan) -> FftPlan
         )
     direction, dtype = _check_inner(width_fft, height_fft)
     recipe = recipes.GoodThomasSmall(width_fft.recipe, height_fft.recipe)
-    return FftPlan(recipe, direction, dtype)
+    return FftPlan(recipe, direction, dtype, pinned=True)
 
 
 def RadersAlgorithm(inner_fft: FftPlan) -> FftPlan:
@@ -142,7 +147,7 @@ def RadersAlgorithm(inner_fft: FftPlan) -> FftPlan:
             f"RadersAlgorithm requires inner length + 1 prime, got {p}"
         )
     recipe = recipes.Raders(inner_fft.recipe)
-    return FftPlan(recipe, inner_fft.fft_direction(), inner_fft.dtype)
+    return FftPlan(recipe, inner_fft.fft_direction(), inner_fft.dtype, pinned=True)
 
 
 def BluesteinsAlgorithm(length: int, inner_fft: FftPlan) -> FftPlan:
@@ -156,4 +161,4 @@ def BluesteinsAlgorithm(length: int, inner_fft: FftPlan) -> FftPlan:
             f"2*{length}-1 (bluesteins_algorithm.rs:39)"
         )
     recipe = recipes.Bluesteins(length, inner_fft.recipe)
-    return FftPlan(recipe, inner_fft.fft_direction(), inner_fft.dtype)
+    return FftPlan(recipe, inner_fft.fft_direction(), inner_fft.dtype, pinned=True)

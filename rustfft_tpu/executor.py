@@ -16,7 +16,8 @@ hashable data.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from collections import OrderedDict
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 
@@ -35,7 +36,10 @@ from .ops import raders as op_raders
 # config.dense_dft_max qualify too.
 _MATRIX_LEAF_MAX = 512
 
-_CACHE: Dict[Tuple, Callable] = {}
+#: built-function memo, LRU-bounded: plans hold their own fn reference, so
+#: eviction only drops the shared memo entry, never a live plan's function
+_CACHE: "OrderedDict[Tuple, Callable]" = OrderedDict()
+_CACHE_MAX = 512
 
 
 def _pallas_mode() -> str:
@@ -97,42 +101,63 @@ def _is_matrix_leaf(recipe: recipes.Recipe) -> bool:
     )
 
 
-def build(recipe: recipes.Recipe, direction: FftDirection, dtype) -> Callable:
+def build(
+    recipe: recipes.Recipe,
+    direction: FftDirection,
+    dtype,
+    allow_fused: bool = True,
+) -> Callable:
     """Return fn: Cplx (..., n) -> Cplx (..., n) computing the unnormalized DFT.
 
     Functions operate on complex-pair tuples (re, im) of real arrays — the
     TPU runtime has no complex dtypes (see ops/calg.py).
+
+    allow_fused=False pins the literal recipe decomposition (no whole-subtree
+    Pallas-kernel substitution anywhere in the tree) — used by the hand-built
+    algorithm.py constructors, whose contract is the *specific* requested
+    algorithm (the reference's directly-constructible types,
+    src/algorithm/mod.rs:1-21), e.g. `Dft` as an independent accuracy oracle.
     """
     dtype = np.dtype(dtype)
     mode = _pallas_mode()
     # every config field that is baked into built functions must key the
     # cache, or mutating config (config.py documents this) returns stale fns
     key = (
-        recipe, direction, dtype, mode,
+        recipe, direction, dtype, mode, allow_fused,
         config.pallas_min_n, config.pallas_precision,
         config.pallas_vmem_limit, config.matmul_precision,
     )
     fn = _CACHE.get(key)
     if fn is None:
-        fn = _maybe_fused(recipe.length, direction, dtype, mode)
+        if allow_fused:
+            fn = _maybe_fused(recipe.length, direction, dtype, mode)
         if fn is None:
-            fn = _build(recipe, direction, dtype)
+            fn = _build(recipe, direction, dtype, allow_fused)
         _CACHE[key] = fn
+        if len(_CACHE) > _CACHE_MAX:
+            _CACHE.popitem(last=False)
+    else:
+        _CACHE.move_to_end(key)
     return fn
 
 
-def _build(recipe: recipes.Recipe, direction: FftDirection, dtype) -> Callable:
+def _build(
+    recipe: recipes.Recipe,
+    direction: FftDirection,
+    dtype,
+    allow_fused: bool = True,
+) -> Callable:
     if isinstance(recipe, (recipes.Dft, recipes.Butterfly)):
         return op_dft.make_dft_fn(recipe.length, direction, dtype)
 
     if isinstance(recipe, recipes.Radix4):
-        base_fn = build(recipe.base, direction, dtype)
+        base_fn = build(recipe.base, direction, dtype, allow_fused)
         return op_ct.make_ct_chain_fn(
             (4,) * recipe.k, recipe.base.length, base_fn, direction, dtype
         )
 
     if isinstance(recipe, recipes.RadixN):
-        base_fn = build(recipe.base, direction, dtype)
+        base_fn = build(recipe.base, direction, dtype, allow_fused)
         return op_ct.make_ct_chain_fn(
             recipe.factors, recipe.base.length, base_fn, direction, dtype
         )
@@ -140,10 +165,10 @@ def _build(recipe: recipes.Recipe, direction: FftDirection, dtype) -> Callable:
     if isinstance(recipe, (recipes.MixedRadix, recipes.MixedRadixSmall)):
         p = recipe.left.length
         q = recipe.right.length
-        right_fn = build(recipe.right, direction, dtype)
+        right_fn = build(recipe.right, direction, dtype, allow_fused)
         if _is_matrix_leaf(recipe.left):
             return op_ct.make_ct_stage_fn(p, q, right_fn, direction, dtype)
-        left_fn = build(recipe.left, direction, dtype)
+        left_fn = build(recipe.left, direction, dtype, allow_fused)
         return op_ct.make_ct_stage_general_fn(
             p, q, left_fn, right_fn, direction, dtype
         )
@@ -151,8 +176,8 @@ def _build(recipe: recipes.Recipe, direction: FftDirection, dtype) -> Callable:
     if isinstance(recipe, (recipes.GoodThomas, recipes.GoodThomasSmall)):
         p = recipe.left.length
         q = recipe.right.length
-        left_fn = build(recipe.left, direction, dtype)
-        right_fn = build(recipe.right, direction, dtype)
+        left_fn = build(recipe.left, direction, dtype, allow_fused)
+        right_fn = build(recipe.right, direction, dtype, allow_fused)
         return op_gt.make_good_thomas_fn(p, q, left_fn, right_fn, dtype)
 
     if isinstance(recipe, recipes.Raders):
@@ -160,7 +185,7 @@ def _build(recipe: recipes.Recipe, direction: FftDirection, dtype) -> Callable:
         # the root-permutation gathers and DC fixups staying in XLA
         mode = _pallas_mode()
         m = recipe.inner.length
-        if mode != "off":
+        if mode != "off" and allow_fused:
             from .ops.pallas import conv
 
             if conv.conv_supported(m, dtype):
@@ -168,7 +193,7 @@ def _build(recipe: recipes.Recipe, direction: FftDirection, dtype) -> Callable:
                     recipe.length, direction, dtype,
                     interpret=(mode == "interpret"),
                 )
-        inner_fn = build(recipe.inner, direction, dtype)
+        inner_fn = build(recipe.inner, direction, dtype, allow_fused)
         return op_raders.make_raders_fn(recipe.length, inner_fn, direction, dtype)
 
     if isinstance(recipe, recipes.Bluesteins):
@@ -178,7 +203,7 @@ def _build(recipe: recipes.Recipe, direction: FftDirection, dtype) -> Callable:
         m = recipe.inner.length
         # no pallas_min_n gate: the conv kernel replaces ~10 XLA passes, so
         # it wins at much smaller sizes than the plain fused kernel
-        if mode != "off":
+        if mode != "off" and allow_fused:
             from .ops.pallas import conv
 
             if conv.conv_supported(m, dtype):
@@ -186,7 +211,7 @@ def _build(recipe: recipes.Recipe, direction: FftDirection, dtype) -> Callable:
                     recipe.length, m, direction, dtype,
                     interpret=(mode == "interpret"),
                 )
-        inner_fn = build(recipe.inner, direction, dtype)
+        inner_fn = build(recipe.inner, direction, dtype, allow_fused)
         return op_bluestein.make_bluestein_fn(
             recipe.length, recipe.inner.length, inner_fn, direction, dtype
         )

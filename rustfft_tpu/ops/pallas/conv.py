@@ -61,8 +61,12 @@ def conv_supported(m: int, dtype) -> bool:
     return consts + 24 * 4 * m <= int(config.pallas_vmem_limit * 0.9)
 
 
-def _pick_batch_tile(batch: int, m: int) -> int:
-    budget = int(config.pallas_vmem_limit * 0.7)
+def _pick_batch_tile(batch: int, m: int, p: int, q: int) -> int:
+    # subtract the constant tables (DFT blocks + twiddles + H + pre/post)
+    # from the budget, as fused._pick_batch_tile does — near the feasibility
+    # boundary the combined working set must still fit vmem_limit_bytes
+    consts = 4 * (4 * p * p + 4 * q * q + 8 * p * q)
+    budget = int(config.pallas_vmem_limit * 0.7) - consts
     per_row = 24 * 4 * m
     tb = max(1, budget // per_row)
     tb = 1 << (tb.bit_length() - 1)
@@ -320,7 +324,7 @@ def make_conv_fn(
 
     def call(xr, xi):
         batch = xr.shape[0]
-        tb = _pick_batch_tile(batch, m)
+        tb = _pick_batch_tile(batch, m, p, q)
         pad_b = (-batch) % tb
         if pad_b:
             xr = jnp.pad(xr, ((0, pad_b), (0, 0)))

@@ -1,4 +1,10 @@
-"""Large-N FFT as two Pallas kernels: 2 HBM passes for n up to ~2^32.
+"""Large-N FFT as two Pallas kernels: 2 HBM passes for n up to ~2^25.
+
+Size bound: choose_pqq needs n = P * q1 * q2 with P <= 512 and q1, q2 <= 256
+(hard max 2^25 = 512*256*256); kernel B's (Q, pt) working set must fit the
+VMEM budget, so pt auto-shrinks from 128 down to 8 as Q grows (beyond
+Q = 16k the lane tiles thin out and per-step efficiency drops — sizes past
+~2^23 run, but the sweet spot is the 2^17..2^23 band).
 
 For n = P*Q beyond what a single VMEM-resident kernel can hold
 (ops/pallas/fused.py), the Cooley-Tukey split (ops/ct.py derivation, the
@@ -120,6 +126,16 @@ def _kernel_b(q1, q2, pt, precision, variant, xr_ref, xi_ref, w1_hi_ref,
     oi_ref[:] = di.reshape(1, q1 * q2, pt)
 
 
+def max_lane_tile(q: int) -> Optional[int]:
+    """Largest kernel-B lane tile pt (128 down to 8) whose (Q, pt) working
+    set (~8 live f32 copies) fits the VMEM budget; None if even pt=8 won't."""
+    budget = int(config.pallas_vmem_limit * 0.85)
+    for pt in (128, 64, 32, 16, 8):
+        if 8 * q * pt * 4 <= budget:
+            return pt
+    return None
+
+
 def choose_pqq(n: int) -> Optional[Tuple[int, int, int]]:
     """Pick n = P * (q1*q2) minimizing MXU work with VMEM-feasible tiles."""
     best = None
@@ -143,14 +159,23 @@ def choose_pqq(n: int) -> Optional[Tuple[int, int, int]]:
         if inner is None:
             continue
         _, q1, q2 = inner
-        # kernel-B block: (Q, pt=128) f32 pair x ~8 live copies
+        # kernel-B block: (Q, pt) f32 pair x ~8 live copies; pt shrinks for
+        # large Q, but thin lane tiles cost per-step efficiency — prefer
+        # splits that keep pt at 128
         q = q1 * q2
-        if 8 * q * 128 * 4 > int(config.pallas_vmem_limit * 0.85):
+        pt = max_lane_tile(q)
+        if pt is None:
             continue
         # measured on v5e (2^20 sweep): the largest P up to 256 wins (smaller
         # kernel-B tiles dominate; beyond 256 kernel A goes compute-bound),
         # with balanced q1 == q2 preferred within that
-        key = (0 if p <= 256 else 1, -p if p <= 256 else p, q1 + q2, abs(q1 - q2))
+        key = (
+            -pt,
+            0 if p <= 256 else 1,
+            -p if p <= 256 else p,
+            q1 + q2,
+            abs(q1 - q2),
+        )
         if best is None or key < best[0]:
             best = (key, p, q1, q2)
     if best is None:
@@ -195,7 +220,9 @@ def make_large_fft_fn(
     qt = min(qt, q)
     while q % qt:
         qt //= 2
-    pt_eff = min(pt, p)
+    lane_cap = max_lane_tile(q)
+    assert lane_cap is not None, f"kernel-B tile for Q={q} exceeds VMEM"
+    pt_eff = min(pt, p, lane_cap)
     while p % pt_eff:
         pt_eff //= 2
     pt = pt_eff

@@ -29,7 +29,13 @@ class FftPlan:
     pure-functional execution provides the same guarantee for free.
     """
 
-    def __init__(self, recipe: recipes.Recipe, direction: FftDirection, dtype):
+    def __init__(
+        self,
+        recipe: recipes.Recipe,
+        direction: FftDirection,
+        dtype,
+        pinned: bool = False,
+    ):
         self._recipe = recipe
         self._direction = direction
         self._dtype = canonical_complex_dtype(dtype)
@@ -47,7 +53,11 @@ class FftPlan:
             )
         # The compute path works on complex-pair tuples (re, im) of real
         # arrays — the TPU runtime has no complex dtypes (ops/calg.py).
-        self._raw_fn = executor.build(recipe, direction, self._dtype)
+        # pinned=True (hand-built algorithm.py constructors) executes the
+        # literal recipe decomposition — no fused-kernel substitution.
+        self._raw_fn = executor.build(
+            recipe, direction, self._dtype, allow_fused=not pinned
+        )
         # One jitted entry; jax caches compiled executables per input shape,
         # which is the analogue of the reference FftCache keyed by length
         # (fft_cache.rs:5-39) extended with the batch-shape class.
@@ -89,6 +99,12 @@ class FftPlan:
         pair happens in jitted device ops); any other input goes through
         numpy on the host.
         """
+        if self._dtype == np.complex128 and not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "complex128 FFT plan processed without jax_enable_x64: JAX "
+                "would silently truncate to complex64. Run "
+                "jax.config.update('jax_enable_x64', True) first."
+            )
         on_device = isinstance(buffer, jax.Array)
         x = buffer if on_device else np.asarray(buffer)
         n = self._recipe.length

@@ -64,17 +64,29 @@ class _PlannerBase:
 
     def __init__(self, dtype=np.complex64) -> None:
         self.dtype = canonical_complex_dtype(dtype)
-        self.algorithm_cache = FftCache()
-        self.recipe_cache: Dict[int, recipes.Recipe] = {}
+        # one FftCache per config state (see _recipe_cache_key): a plan built
+        # under one pallas mode / VMEM limit must not be served under another
+        self._algorithm_caches: Dict[Tuple, FftCache] = {}
+        self.recipe_cache: Dict[Tuple, recipes.Recipe] = {}
+
+    @property
+    def algorithm_cache(self) -> FftCache:
+        """The plan cache for the *current* config state."""
+        key = self._recipe_cache_key()
+        cache = self._algorithm_caches.get(key)
+        if cache is None:
+            cache = self._algorithm_caches[key] = FftCache()
+        return cache
 
     # -- public API (plan.rs:289-309) --
     def plan_fft(self, length: int, direction: FftDirection) -> FftPlan:
         recipe = self.design_fft_for_len(length)
-        cached = self.algorithm_cache.get(length, direction)
+        cache = self.algorithm_cache
+        cached = cache.get(length, direction)
         if cached is not None:
             return cached
         plan = FftPlan(recipe, direction, self.dtype)
-        self.algorithm_cache.insert(plan)
+        cache.insert(plan)
         return plan
 
     def plan_fft_forward(self, length: int) -> FftPlan:
@@ -86,6 +98,16 @@ class _PlannerBase:
     #: subclasses with a native (C++ plancore) recipe designer set this
     _native_design = False
 
+    def _recipe_cache_key(self) -> Tuple:
+        """Config state the recipe design depends on; () when independent.
+
+        The TPU planner branches on the pallas mode / VMEM limit / dense-DFT
+        threshold, all mutable config — recipes designed under one setting
+        must not be served under another (the executor cache, which had the
+        same class of bug, keys on its config inputs the same way).
+        """
+        return ()
+
     # -- recipe design entry (plan.rs:312-323) --
     def design_fft_for_len(self, length: int) -> recipes.Recipe:
         if length < 0:
@@ -93,7 +115,8 @@ class _PlannerBase:
             raise ValueError(f"FFT length must be >= 0, got {length}")
         if length < 2:
             return recipes.Dft(length)
-        cached = self.recipe_cache.get(length)
+        key = (length,) + self._recipe_cache_key()
+        cached = self.recipe_cache.get(key)
         if cached is not None:
             return cached
         recipe = None
@@ -104,7 +127,7 @@ class _PlannerBase:
         if recipe is None:
             factors = PrimeFactors.compute(length)
             recipe = self.design_fft_with_factors(length, factors)
-        self.recipe_cache[length] = recipe
+        self.recipe_cache[key] = recipe
         return recipe
 
     def design_fft_with_factors(
@@ -300,6 +323,17 @@ class FftPlannerTpu(_PlannerBase):
       2^a or 3*2^a, which stay on the fast pow2 path.
     """
 
+    def _recipe_cache_key(self) -> Tuple:
+        # every mutable-config input of the TPU recipe design (pallas mode
+        # via _on_tpu(), VMEM limit via conv_supported, dense-DFT threshold)
+        from . import executor
+
+        return (
+            executor._pallas_mode(),
+            config.pallas_vmem_limit,
+            config.dense_dft_max,
+        )
+
     def design_fft_with_factors(
         self, length: int, factors: PrimeFactors
     ) -> recipes.Recipe:
@@ -413,8 +447,11 @@ class FftPlanner(_PlannerBase):
         super().__init__(dtype)
         self._inner = FftPlannerTpu(dtype)
         # share caches so plan_fft and design_fft_for_len agree
-        self._inner.algorithm_cache = self.algorithm_cache
+        self._inner._algorithm_caches = self._algorithm_caches
         self._inner.recipe_cache = self.recipe_cache
+
+    # delegate config keying too, so the shared caches key identically
+    _recipe_cache_key = FftPlannerTpu._recipe_cache_key
 
     def design_fft_with_factors(
         self, length: int, factors: PrimeFactors

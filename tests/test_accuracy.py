@@ -27,9 +27,9 @@ else:
         + [255, 256, 512, 729, 1000, 1024]
     )
 
-# BASELINE.md scenario sizes: planner path 1234; primes via Rader/Bluestein;
-# mixed-radix 3^n*2^m composites; pow2.
-SCENARIO_SIZES = [1234, 1009, 7919, 2592, 2916, 3**5 * 2**5, 4096, 65536]
+# BASELINE.md scenario sizes: planner path 1234; primes via Rader/Bluestein
+# (65537 = F4, Rader inner 65536); mixed-radix 3^n*2^m composites; pow2.
+SCENARIO_SIZES = [1234, 1009, 7919, 65537, 2592, 2916, 3**5 * 2**5, 4096, 65536]
 
 
 def _check(planner, n, direction, dtype, tol=0.1):
@@ -73,7 +73,7 @@ def test_scenario_sizes(tpu_planner, n):
     _check(tpu_planner, n, FftDirection.FORWARD, np.complex64)
 
 
-@pytest.mark.parametrize("n", [1009, 7919])
+@pytest.mark.parametrize("n", [1009, 7919, 65537])
 def test_prime_roundtrip(tpu_planner, n):
     # BASELINE config 3: prime fwd+inv roundtrip scales by n
     fwd = tpu_planner.plan_fft(n, FftDirection.FORWARD)

@@ -150,3 +150,27 @@ def test_negative_length_rejected():
 
     with pytest.raises(ValueError):
         FftPlanner().plan_fft_forward(-1)
+
+
+def test_c128_without_x64_raises():
+    """Processing a c128 plan with x64 disabled must raise, not silently
+    truncate to c64 (ADVICE r1)."""
+    import jax
+
+    import warnings
+
+    plan = FftPlannerScalar(np.complex128).plan_fft_forward(16)
+    sig = random_signal(16, dtype=np.complex128)
+    jax.config.update("jax_enable_x64", False)
+    try:
+        with pytest.raises(RuntimeError, match="jax_enable_x64"):
+            plan.process(sig)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            FftPlannerScalar(np.complex128).plan_fft_forward(32)
+        assert any("jax_enable_x64" in str(w.message) for w in caught)
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    # with x64 back on, the same plan object processes fine
+    out = np.asarray(plan.process(sig))
+    assert out.dtype == np.complex128

@@ -170,3 +170,66 @@ def test_executor_routes_through_fused(monkeypatch):
     out = np.asarray(plan.process(sig))
     err = mean_element_error(out, oracle_dft(sig, FftDirection.FORWARD))
     assert err < 1e-2
+
+
+def test_large_pipeline_above_2pow20():
+    """Sizes above 2^20 (reference benches pow2 to 2^24,
+    bench_rustfft.rs:43-105): the pipeline's lane tile auto-shrinks to keep
+    kernel B's (Q, pt) working set within VMEM (large.max_lane_tile)."""
+    from rustfft_tpu.ops.pallas import large
+
+    for n in (1 << 21, 1 << 22, 1 << 23, 1 << 24):
+        assert large.large_supported(n, np.complex64), n
+
+    n = 1 << 21
+    fn = large.make_large_fft_fn(n, FftDirection.FORWARD, np.complex64, interpret=True)
+    sig = random_signal(n, dtype=np.complex64, seed=21).reshape(1, n)
+    o_r, o_i = fn((sig.real, sig.imag))
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    err = mean_element_error(out, oracle_dft(sig, FftDirection.FORWARD))
+    assert err < 1e-2, err
+
+
+def test_raders_conv_kernel_65537():
+    """BASELINE scenario 3's largest prime: 65537 = F4, Rader inner 65536
+    (256 x 256 conv split) — the whole conv route executes end to end."""
+    from rustfft_tpu.ops.pallas import conv
+
+    p = 65537
+    assert conv.conv_supported(p - 1, np.complex64)
+    fn = conv.make_raders_fn(p, FftDirection.FORWARD, np.complex64, interpret=True)
+    sig = random_signal(p, dtype=np.complex64, seed=65537).reshape(1, p)
+    o_r, o_i = fn((sig.real, sig.imag))
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    err = mean_element_error(out, oracle_dft(sig, FftDirection.FORWARD))
+    assert err < 1e-2, err
+
+
+def test_pinned_algorithm_skips_fused(monkeypatch):
+    """algorithm.py constructors pin the literal decomposition: no fused
+    Pallas substitution even when use_pallas is active (ADVICE r1: Dft must
+    stay an independent oracle)."""
+    monkeypatch.setattr(config, "use_pallas", "on")
+    from rustfft_tpu import algorithm, executor
+
+    calls = []
+    real_maybe_fused = executor._maybe_fused
+
+    def spy(n, direction, dtype, mode):
+        calls.append(n)
+        return real_maybe_fused(n, direction, dtype, mode)
+
+    monkeypatch.setattr(executor, "_maybe_fused", spy)
+    executor._CACHE.clear()
+
+    plan = algorithm.Dft(4096, FftDirection.FORWARD)
+    assert calls == [], "pinned Dft must not consult the fused router"
+    sig = random_signal(4096, dtype=np.complex64, seed=3)
+    err = mean_element_error(
+        np.asarray(plan.process(sig)), oracle_dft(sig, FftDirection.FORWARD)
+    )
+    assert err < 1e-3, err
+
+    # planner-built plans of the same length DO consult it
+    FftPlanner().plan_fft_forward(4096)
+    assert 4096 in calls

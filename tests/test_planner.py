@@ -186,3 +186,34 @@ class TestTpuPlanner:
         a = planner.plan_fft_forward(1234)
         b = planner.plan_fft_forward(1234)
         assert a is b
+
+
+def test_recipe_cache_tracks_config(monkeypatch):
+    """Flipping config after the first plan must re-design, not serve stale
+    recipes (VERDICT r1: recipe_cache keyed on length only)."""
+    planner = FftPlannerTpu()
+    monkeypatch.setattr(config, "use_pallas", "off")
+    off_recipe = planner.design_fft_for_len(1234)
+    # 1234 = 2*617 off-TPU: composite MixedRadix decomposition
+    assert isinstance(off_recipe, recipes.MixedRadix)
+    monkeypatch.setattr(config, "use_pallas", "on")
+    on_recipe = planner.design_fft_for_len(1234)
+    # with Pallas active the planner prefers the whole-n fused Bluestein conv
+    assert isinstance(on_recipe, recipes.Bluesteins)
+    # and each mode keeps serving its own cached recipe by identity
+    assert planner.design_fft_for_len(1234) is on_recipe
+    monkeypatch.setattr(config, "use_pallas", "off")
+    assert planner.design_fft_for_len(1234) is off_recipe
+
+
+def test_plan_cache_tracks_config(monkeypatch):
+    """Plan (algorithm) cache must also be per-config-state."""
+    planner = FftPlanner()
+    monkeypatch.setattr(config, "use_pallas", "off")
+    off_plan = planner.plan_fft_forward(4096)
+    monkeypatch.setattr(config, "use_pallas", "on")
+    on_plan = planner.plan_fft_forward(4096)
+    assert on_plan is not off_plan
+    assert planner.plan_fft_forward(4096) is on_plan
+    monkeypatch.setattr(config, "use_pallas", "off")
+    assert planner.plan_fft_forward(4096) is off_plan
