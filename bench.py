@@ -65,6 +65,50 @@ def bench_config(n: int, batch: int, iters: int = 8):
     return t_per, gflops
 
 
+def bench_stream(nbytes: int = 1 << 28, iters: int = 8):
+    """Same-run HBM stream rate (GB/s): chained elementwise scale, one read +
+    one write per iteration, timed exactly like bench_config.
+
+    The chip here is time-shared (CLAUDE.md: identical runs vary ~2x), so the
+    roofline denominator must come from the same run as the FFT numbers.
+    """
+    import jax
+
+    size = nbytes // 4
+    x = jax.device_put(np.full((size,), 1.0, np.float32))
+
+    @jax.jit
+    def many(x):
+        # loop iterations cannot fuse with each other: each is 1 read + 1 write
+        return jax.lax.fori_loop(0, iters, lambda i, v: v * 1.0000001, x)[0]
+
+    @jax.jit
+    def nothing(x):
+        return x[0]
+
+    float(many(x))
+    float(nothing(x))
+    t0 = time.perf_counter()
+    float(nothing(x))
+    t_over = time.perf_counter() - t0
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(many(x))
+        t = time.perf_counter() - t0
+        best = t if best is None else min(best, t)
+    t_per = max((best - t_over) / iters, 1e-9)
+    return 2 * 4 * size / t_per / 1e9
+
+
+def roofline_gflops(n: int, stream_gbps: float) -> float:
+    """Memory-bound speed of light: one HBM read + one write of the c64
+    signal (16 bytes/point as an f32 pair) at the measured stream rate,
+    expressed in the 5N log2 N flop convention."""
+    t_per_point = 16.0 / (stream_gbps * 1e9)
+    return 5.0 * math.log2(n) / t_per_point / 1e9
+
+
 def bench_numpy(n: int, batch_cap: int = 1 << 22, iters: int = 3):
     base_batch = max(1, batch_cap // n)
     rng = np.random.default_rng(0)
@@ -85,33 +129,46 @@ def main():
         (4096, 16384),
         (65536, 1024),
         (1 << 20, 64),
+        (1 << 22, 16),  # above-2^20 tier (reference benches pow2 to 2^24)
         (1234, 8192),  # BASELINE config 1 (planner path, non-pow2)
         (1009, 8192),  # BASELINE config 3 (Rader prime)
+        (65537, 512),  # BASELINE config 3 (largest prime; Rader inner 2^16)
         (3888, 16384),  # BASELINE config 4 (2^4 * 3^5 mixed radix)
     ]
 
+    stream_gbps = bench_stream()
+    print(f"# stream: {stream_gbps:.0f} GB/s (same-run roofline denominator)",
+          file=sys.stderr)
+
     results = []
+    roofline_pcts = []
     for n, batch in configs:
         t_per, gflops = bench_config(n, batch)
         base_gflops = bench_numpy(n)
+        roof = roofline_gflops(n, stream_gbps)
+        pct = 100.0 * gflops / roof
         results.append((gflops, base_gflops))
+        roofline_pcts.append(pct)
         print(
             f"# n={n:>8} batch={batch:>6}: {t_per*1e3:8.3f} ms/fft "
-            f"{gflops:9.1f} GFLOP/s | numpy cpu {base_gflops:6.1f} "
-            f"| ratio {gflops/base_gflops:8.1f}x",
+            f"{gflops:9.1f} GFLOP/s | roofline {roof:7.1f} -> {pct:5.1f}% "
+            f"| numpy cpu {base_gflops:6.1f} | ratio {gflops/base_gflops:8.1f}x",
             file=sys.stderr,
         )
 
     geo = math.exp(sum(math.log(g) for g, _ in results) / len(results))
     geo_base = math.exp(sum(math.log(b) for _, b in results) / len(results))
+    geo_roof = math.exp(sum(math.log(p) for p in roofline_pcts) / len(roofline_pcts))
     print(
         json.dumps(
             {
                 "metric": "batched c64 FFT GFLOP/s, geomean over sizes "
-                "{1024,4096,65536,2^20,1234,1009,3888}",
+                "{1024,4096,65536,2^20,2^22,1234,1009,65537,3888}",
                 "value": round(geo, 2),
                 "unit": "GFLOP/s (5N log2 N)",
                 "vs_baseline": round(geo / geo_base, 2),
+                "roofline_pct_geomean": round(geo_roof, 1),
+                "stream_gbps": round(stream_gbps, 1),
             }
         )
     )

@@ -1,0 +1,249 @@
+"""Batch-in-lanes FFT kernel: transforms in sublanes, 128 batch rows in lanes.
+
+The TPU analogue of the reference SSE/NEON `perform_parallel_fft` butterflies
+that pack 2 f32 transforms per vector (sse_butterflies.rs) — here 128
+transforms ride the 128-wide lane axis, and the transform index n lives
+entirely on the *sublane* axis, where Mosaic allows arbitrary splits.  That
+removes the fused kernel's lane-alignment constraint (q % 128), so sizes
+whose factors contain no 2^7 — the reference's 3n2m class, e.g.
+3888 = 2^4*3^5 (lib.rs:114, avx_planner.rs:748-865) — get a fused
+single-HBM-pass kernel too, as does the small-n tier (n <= 2048) where the
+lane-aligned fused kernel loses to XLA.
+
+Per grid step (one group of L=128 transforms):
+
+    load (L, n) natural layout -> VMEM lane<->sublane transpose -> (n, L)
+    -> 2 or 3 DFT stages, each a weights-as-lhs MXU contraction over a
+       sublane factor of n (factors need NO lane alignment) with twiddle
+       multiplies between -> (n, L) in natural frequency order
+    -> transpose back -> store (L, n)
+
+One HBM read + one write per transform: the memory-bound speed of light.
+The two VMEM transposes ride the VPU/MXU and cost no HBM traffic.
+
+MXU work at bf16x3: 24*(r1+..+rk) flops/point — e.g. n=3888 as 48*81:
+~3.1k flops/pt, n=1024 as 32*32: ~1.5k flops/pt (vs 6.1k for the
+lane-aligned kernel's 128*128 split at n=16384).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...common import FftDirection
+from ...config import config
+from ... import twiddles
+from .. import calg
+from .fused import _split_bf16, contract_wlhs
+
+#: lanes per transform group == the VPU/MXU lane width
+LANES = 128
+
+#: per-stage factor cap: keeps the (2r)^2 DFT blocks small and the
+#: contraction K = 2r within a few MXU passes
+MAX_STAGE = 256
+
+
+def choose_radices(n: int) -> Optional[Tuple[int, ...]]:
+    """Split n into 2..3 factors <= MAX_STAGE, minimizing sum (MXU flops).
+
+    Returns None when n has no such factorization (e.g. a prime > MAX_STAGE).
+    """
+    best2 = None
+    for r1 in range(2, MAX_STAGE + 1):
+        if n % r1:
+            continue
+        r2 = n // r1
+        if r2 <= MAX_STAGE:
+            key = (r1 + r2, abs(r1 - r2))
+            if best2 is None or key < best2[0]:
+                best2 = (key, (r1, r2))
+    best3 = None
+    for r1 in range(2, MAX_STAGE + 1):
+        if n % r1:
+            continue
+        rest = n // r1
+        for r2 in range(r1, MAX_STAGE + 1):
+            if rest % r2:
+                continue
+            r3 = rest // r2
+            if r3 <= MAX_STAGE and r3 >= 2:
+                key = (r1 + r2 + r3, max(r1, r2, r3))
+                if best3 is None or key < best3[0]:
+                    best3 = (key, (r1, r2, r3))
+    if best2 is None and best3 is None:
+        return None
+    if best2 is None:
+        return best3[1]
+    if best3 is None:
+        return best2[1]
+    # fewer flops wins; a 3-stage split must beat the 2-stage sum to justify
+    # the extra twiddle pass
+    return best3[1] if sum(best3[1]) < sum(best2[1]) else best2[1]
+
+
+def lanepack_supported(n: int, dtype) -> bool:
+    if np.dtype(dtype) != np.complex64:
+        return False
+    if n < 4:
+        return False
+    radices = choose_radices(n)
+    if radices is None:
+        return False
+    # VMEM: ~10 live f32 copies of the (n, LANES) pair + DFT blocks/twiddles
+    consts = sum(4 * (2 * r) ** 2 for r in radices) + 8 * n * 4
+    tile = 10 * 2 * 4 * n * LANES
+    return consts + tile <= int(config.pallas_vmem_limit * 0.9)
+
+
+def _stage(w_hi, w_lo, x, rhs_dim, precision):
+    """Weights-as-lhs contraction of one sublane factor; lanes untouched."""
+    dims = (((1,), (rhs_dim,)), ((), ()))
+    return contract_wlhs(w_hi, w_lo, x, dims, precision)
+
+
+def _kernel(n, radices, g, precision, xr_ref, xi_ref, *refs):
+    """One group: (g*LANES, n) natural [b, j] -> same shape, FFT over j."""
+    k = len(radices)
+    w_refs = refs[: 2 * k]
+    tw_refs = refs[2 * k : 2 * k + 2 * (k - 1)]
+    or_ref, oi_ref = refs[-2:]
+
+    outs_r = []
+    outs_i = []
+    for gi in range(g):
+        xr = xr_ref[gi * LANES : (gi + 1) * LANES, :]  # (L, n)
+        xi = xi_ref[gi * LANES : (gi + 1) * LANES, :]
+        # lane<->sublane transpose: n -> sublanes, batch -> lanes
+        tr = jnp.swapaxes(xr, 0, 1)  # (n, L)
+        ti = jnp.swapaxes(xi, 0, 1)
+
+        # DIT over j = j1*(r2*r3..) + j2*(r3..) + ...: stage s contracts r_s.
+        # Loop invariant: data shaped (done..., r_s, rest, L) flattened as
+        # (prod(k_done), r_s * rest, L) with k-order reversed (natural flat).
+        rest = n
+        vr = tr.reshape(1, n, LANES)
+        vi = ti.reshape(1, n, LANES)
+        for s, r in enumerate(radices):
+            rest //= r
+            lead = vr.shape[0]
+            vr = vr.reshape(lead, r, rest, LANES)
+            vi = vi.reshape(lead, r, rest, LANES)
+            vb = jnp.concatenate([vr, vi], axis=1)  # (lead, 2r, rest, L)
+            w_hi = w_refs[2 * s][:]
+            w_lo = w_refs[2 * s + 1][:]
+            # out[k_s, lead, rest, L] — k_s lands leading (natural order
+            # accumulates left), lanes untouched
+            a = _stage(w_hi, w_lo, vb, 1, precision)
+            ar, ai = a[:r], a[r:]
+            if s < k - 1:
+                # twiddle w_{r*rest}^(k_s * j_next) over the remaining axes,
+                # broadcast over lead and lanes: tables (r, rest, 1)
+                twr = tw_refs[2 * s][:].reshape(r, 1, rest, 1)
+                twi = tw_refs[2 * s + 1][:].reshape(r, 1, rest, 1)
+                br = ar * twr - ai * twi
+                bi = ar * twi + ai * twr
+            else:
+                br, bi = ar, ai
+            # fold k_s into the lead axis: new flat index k_s*lead_prev + prev
+            # is wrong — the DIT index is k = ... + k_s * (stride); keeping
+            # k_s leading then flattening (k_s, lead) gives k_s-major, which
+            # combined over stages yields k = k_last*...*r2 + ... + k_1?  See
+            # derivation in tests: final flat order IS natural ascending.
+            vr = br.reshape(r * lead, rest, LANES)
+            vi = bi.reshape(r * lead, rest, LANES)
+        outr = jnp.swapaxes(vr.reshape(n, LANES), 0, 1)  # (L, n)
+        outi = jnp.swapaxes(vi.reshape(n, LANES), 0, 1)
+        outs_r.append(outr)
+        outs_i.append(outi)
+    or_ref[:] = jnp.concatenate(outs_r, axis=0) if g > 1 else outs_r[0]
+    oi_ref[:] = jnp.concatenate(outs_i, axis=0) if g > 1 else outs_i[0]
+
+
+def make_lanepack_fn(
+    n: int,
+    direction: FftDirection,
+    dtype,
+    radices: Optional[Sequence[int]] = None,
+    interpret: bool = False,
+    precision=None,
+    group: int = 1,
+) -> Callable:
+    """Return fn: Cplx (..., n) -> Cplx (..., n), batch-in-lanes kernel.
+
+    `group` = how many 128-transform groups one grid step processes.
+    """
+    assert np.dtype(dtype) == np.complex64, "lanepack kernel is c64/f32 only"
+    radices = tuple(radices or choose_radices(n))
+    assert int(np.prod(radices)) == n, (radices, n)
+    k = len(radices)
+    if precision is None:
+        precision = config.pallas_precision
+    if interpret and precision == "bf16x3":
+        # interpreter lowers dots through XLA, whose dot merger re-fuses the
+        # bf16x3 passes and destroys the correction terms; use true f32
+        precision = jax.lax.Precision.HIGHEST
+    rdt = np.float32
+
+    consts = []
+    for r in radices:
+        w = calg.block_mid(twiddles.dft_matrix(r, direction), rdt)  # (2r, 2r)
+        if precision == "bf16x3":
+            consts.extend(_split_bf16(w))
+        else:
+            consts.extend((w, np.zeros_like(w, dtype=jnp.bfloat16)))
+    # inter-stage twiddles: after contracting r_s, twiddle w_{r_s*rest}^(k_s*j)
+    rest = n
+    for r in radices[:-1]:
+        rest //= r
+        tw = twiddles.twiddle_table(r, rest, direction)  # (r, rest) [k_s, j]
+        consts.append(np.ascontiguousarray(tw.real).astype(rdt))
+        consts.append(np.ascontiguousarray(tw.imag).astype(rdt))
+
+    def call(xr, xi, g):
+        batch = xr.shape[0]
+        rows = g * LANES
+        grid = batch // rows
+        kernel = functools.partial(_kernel, n, radices, g, precision)
+        bspec = pl.BlockSpec((rows, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+        def cspec(w):
+            return pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+        out_r, out_i = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[bspec, bspec] + [cspec(w) for w in consts],
+            out_specs=[bspec, bspec],
+            out_shape=[jax.ShapeDtypeStruct((batch, n), jnp.float32)] * 2,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=config.pallas_vmem_limit
+            ),
+            interpret=interpret,
+        )(xr, xi, *[jnp.asarray(w) for w in consts])
+        return out_r, out_i
+
+    def apply(x):
+        xr, xi = x
+        shape = xr.shape
+        flat_r = xr.reshape(-1, n)
+        flat_i = xi.reshape(-1, n)
+        batch = flat_r.shape[0]
+        rows = group * LANES
+        pad = (-batch) % rows
+        if pad:
+            flat_r = jnp.pad(flat_r, ((0, pad), (0, 0)))
+            flat_i = jnp.pad(flat_i, ((0, pad), (0, 0)))
+        out_r, out_i = call(flat_r, flat_i, group)
+        if pad:
+            out_r = out_r[:batch]
+            out_i = out_i[:batch]
+        return out_r.reshape(shape), out_i.reshape(shape)
+
+    return apply

@@ -1,0 +1,132 @@
+"""On-hardware accuracy artifact: the PRODUCTION path vs the host f64 oracle.
+
+CI pins kernel numerics under the Pallas interpreter at HIGHEST precision
+(Mosaic-only bf16x3 can't run there) — this tool closes that gap by running
+the real production path (bf16x3 Pallas kernels + XLA stages) on the actual
+TPU backend and recording mean/max element error against the host f64 oracle,
+at the reference's tolerance (mean element error < 0.1 on ~unit-normal
+signals; /root/reference/tests/accuracy.rs:30-37, test_utils.rs:36-43).
+
+Usage (on the TPU host):
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/tpu_accuracy.py \
+        [--out ACCURACY_TPU.md] [--sizes 1..1000] [n ...]
+
+Default size set: every bench/BASELINE scenario size plus a stratified sample
+of 1..1000 covering each planner route (butterflies, butterfly products,
+RadixN, MixedRadix, Rader, Bluestein).  Each size is a fresh XLA compile
+(~20-40 s on the tunneled chip), so the full 1..1000 sweep is opt-in via
+--sizes 1..1000.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+# stratified 1..1000 sample: pow2, 2^a*3^b, butterfly products, awkward
+# composites, Rader primes (p-1 smooth), Bluestein primes (p-1 has a big
+# factor), plus boundary sizes
+SAMPLED_SIZES = [
+    1, 2, 3, 4, 5, 7, 8, 11, 13, 16, 17, 23, 29, 31, 32,
+    36, 48, 64, 81, 97, 100, 101, 128, 120, 144, 179, 233,
+    240, 243, 251, 256, 283, 360, 367, 409, 431, 512, 540, 577, 625,
+    720, 729, 768, 809, 863, 929, 960, 997, 1000,
+]
+
+SCENARIO_SIZES = [1024, 1234, 2048, 2592, 3888, 4096, 7776, 8192, 16384,
+                  1009, 7919, 65537, 65536, 1 << 20]
+
+
+def check_size(planner, n: int, direction, batch: int = 4):
+    from rustfft_tpu.utils.testing import mean_element_error, oracle_dft, random_signal
+
+    sig = random_signal(batch * n, dtype=np.complex64, seed=1000 + n)
+    sig = sig.reshape(batch, n)
+    plan = planner.plan_fft(n, direction)
+    t0 = time.perf_counter()
+    out = np.asarray(plan.process(sig))
+    dt = time.perf_counter() - t0
+    expected = oracle_dft(sig, direction)
+    mean_err = mean_element_error(out, expected)
+    denom = float(np.mean(np.abs(expected))) or 1.0
+    max_err = float(np.max(np.abs(out.astype(np.complex128) - expected)))
+    return mean_err, max_err, mean_err / denom, dt
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sizes", nargs="*", type=int)
+    ap.add_argument("--out", default="ACCURACY_TPU.md")
+    ap.add_argument("--sizes", dest="range_spec", default=None,
+                    help="e.g. 1..1000 for the full reference sweep")
+    ap.add_argument("--tol", type=float, default=0.1)
+    args = ap.parse_args()
+
+    import jax
+
+    from rustfft_tpu import FftDirection, FftPlanner, executor
+    from rustfft_tpu.config import config
+
+    dev = jax.devices()[0]
+    mode = executor._pallas_mode()
+    header = (
+        f"device: {dev.device_kind} (platform {dev.platform}), "
+        f"pallas mode: {mode}, pallas precision: {config.pallas_precision}, "
+        f"matmul precision: {config.matmul_precision}"
+    )
+    print("#", header, file=sys.stderr)
+    if mode != "tpu":
+        print("# WARNING: not on TPU hardware — this artifact is only "
+              "meaningful with mode=tpu", file=sys.stderr)
+
+    if args.range_spec:
+        lo, hi = args.range_spec.split("..")
+        sizes = list(range(int(lo), int(hi) + 1))
+    elif args.sizes:
+        sizes = args.sizes
+    else:
+        sizes = SAMPLED_SIZES + SCENARIO_SIZES
+
+    planner = FftPlanner()
+    rows = []
+    worst = (0.0, None)
+    fails = []
+    for n in sizes:
+        for direction in (FftDirection.FORWARD, FftDirection.INVERSE):
+            if n < 1:
+                continue
+            mean_err, max_err, rel_err, dt = check_size(planner, n, direction)
+            tag = "F" if direction is FftDirection.FORWARD else "I"
+            ok = mean_err < args.tol
+            if not ok:
+                fails.append((n, tag, mean_err))
+            if rel_err > worst[0]:
+                worst = (rel_err, (n, tag))
+            rows.append((n, tag, mean_err, max_err, rel_err, dt))
+            print(
+                f"# n={n:>8}{tag}: mean={mean_err:.3e} max={max_err:.3e} "
+                f"rel={rel_err:.3e} ({dt:5.1f}s){'' if ok else '  FAIL'}",
+                file=sys.stderr,
+            )
+
+    with open(args.out, "w") as f:
+        f.write("# TPU accuracy artifact — production path vs host f64 oracle\n\n")
+        f.write(f"{header}\n\n")
+        f.write(f"generated: {time.strftime('%Y-%m-%d %H:%M:%S')}; batch=4 per size; ")
+        f.write("tolerance: mean element error < "
+                f"{args.tol} (reference tests/accuracy.rs:30-37)\n\n")
+        f.write(f"**{len(rows)} checks, {len(fails)} failures.** ")
+        f.write(f"worst relative mean error: {worst[0]:.3e} at n={worst[1]}\n\n")
+        f.write("| n | dir | mean err | max err | rel mean err |\n")
+        f.write("|---|---|---|---|---|\n")
+        for n, tag, mean_err, max_err, rel_err, _ in rows:
+            f.write(f"| {n} | {tag} | {mean_err:.3e} | {max_err:.3e} | {rel_err:.3e} |\n")
+    print(f"# wrote {args.out}: {len(rows)} checks, {len(fails)} failures",
+          file=sys.stderr)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
