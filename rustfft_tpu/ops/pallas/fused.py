@@ -404,3 +404,199 @@ def make_fused_two_stage_fn(
         return out_r.reshape(shape), out_i.reshape(shape)
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# Three-stage variant: n = p * q1 * q2, all inside one VMEM kernel.
+#
+# Cuts the MXU work from 8(p+q) to 8(p+q1+q2) flops/point — e.g. n=65536 goes
+# from 8*512 (256x256 two-stage) to 8*176 (128 x 16x32), a 2.9x flop cut —
+# while keeping the single HBM read + write.  Stage 1 contracts the sublane
+# j1 axis exactly like the two-stage kernel; stages 2/3 run the length-q FFT
+# over the *sublane* j2 axis as two weights-as-lhs contractions (the same
+# scheme as large.py's kernel B), so the lane axis is never transposed.
+# Reference counterpart: the layered radix stages of radix4.rs:146-164.
+# ---------------------------------------------------------------------------
+
+
+def choose_pqq_fused(n: int) -> Optional[Tuple[int, int, int]]:
+    """Split n = p * (q1*q2), p and q1*q2 both lane-aligned (% 128 == 0),
+    minimizing total MXU flops 8(p + q1 + q2)."""
+    best = None
+    for p in range(128, MAX_FACTOR + 1, 128):
+        if n % p:
+            continue
+        q = n // p
+        if q % 128 or q < 128:
+            continue
+        inner = None
+        for q1 in range(2, 257):
+            if q % q1:
+                continue
+            q2 = q // q1
+            if q2 > 256:
+                continue
+            key = (q1 + q2, abs(q1 - q2))
+            if inner is None or key < inner[0]:
+                inner = (key, q1, q2)
+        if inner is None:
+            continue
+        _, q1, q2 = inner
+        consts = 4 * (
+            4 * p * p + 4 * q1 * q1 + 4 * q2 * q2 + 2 * q * p + 2 * q1 * q2
+        )
+        if consts + 16 * 4 * n > int(config.pallas_vmem_limit * 0.9):
+            continue
+        key = (p + q1 + q2, abs(p - q))
+        if best is None or key < best[0]:
+            best = (key, p, q1, q2)
+    if best is None:
+        return None
+    _, p, q1, q2 = best
+    return p, q1, q2
+
+
+def three_stage_supported(n: int, dtype) -> bool:
+    if np.dtype(dtype) != np.complex64:
+        return False
+    return choose_pqq_fused(n) is not None
+
+
+def _fused_kernel_3s(p, q1, q2, tb, precision, xr_ref, xi_ref, wp_hi_ref,
+                     wp_lo_ref, w1_hi_ref, w1_lo_ref, w2_hi_ref, w2_lo_ref,
+                     t1r_ref, t1i_ref, t2r_ref, t2i_ref, or_ref, oi_ref):
+    """One batch tile: (tb*p, q) [j1, j2] -> (tb*q, p) [k2, k1] natural."""
+    q = q1 * q2
+    sub = (((1,), (1,)), ((), ()))
+
+    xr = xr_ref[:].reshape(tb, p, q)
+    xi = xi_ref[:].reshape(tb, p, q)
+
+    # stage 1: DFT_p over the sublane j1 axis
+    xb = jnp.concatenate([xr, xi], axis=1)  # (tb, 2p, q)
+    a = contract_rhs(xb, wp_hi_ref[:], wp_lo_ref[:], sub, precision)
+    ar, ai = a[:, :, :p], a[:, :, p:]  # (tb, q, p) [j2, k1]
+
+    # outer twiddle w_n^(k1*j2), table (q, p)
+    t1r, t1i = t1r_ref[:], t1i_ref[:]
+    br = ar * t1r - ai * t1i
+    bi = ar * t1i + ai * t1r
+
+    # stage 2: DFT_q1 over the major digit of j2 = ja*q2 + jb
+    br = br.reshape(tb, q1, q2, p)
+    bi = bi.reshape(tb, q1, q2, p)
+    bb = jnp.concatenate([br, bi], axis=1)  # (tb, 2q1, q2, p)
+    c = contract_wlhs(
+        w1_hi_ref[:], w1_lo_ref[:], bb, (((1,), (1,)), ((), ())), precision
+    )  # (2q1, tb, q2, p) [ka, b, jb, k1]
+    cr, ci = c[:q1], c[q1:]
+
+    # inner twiddle w_q^(ka*jb), table (q1, q2) broadcast over batch & lanes
+    t2r = t2r_ref[:].reshape(q1, 1, q2, 1)
+    t2i = t2i_ref[:].reshape(q1, 1, q2, 1)
+    dr = cr * t2r - ci * t2i
+    di = cr * t2i + ci * t2r
+
+    # stage 3: DFT_q2 over jb
+    db = jnp.concatenate([dr, di], axis=2)  # (q1, tb, 2q2, p)
+    e = contract_wlhs(
+        w2_hi_ref[:], w2_lo_ref[:], db, (((1,), (2,)), ((), ())), precision
+    )  # (2q2, q1, tb, p) [kb, ka, b, k1]
+    er, ei = e[:q2], e[q2:]
+
+    # lane-preserving leading permute -> (tb, kb, ka, p); flat k = (kb*q1+ka)*p + k1
+    er = jnp.transpose(er, (2, 0, 1, 3))
+    ei = jnp.transpose(ei, (2, 0, 1, 3))
+    or_ref[:] = er.reshape(tb * q, p)
+    oi_ref[:] = ei.reshape(tb * q, p)
+
+
+def make_fused_three_stage_fn(
+    n: int,
+    direction: FftDirection,
+    dtype,
+    split: Optional[Tuple[int, int, int]] = None,
+    interpret: bool = False,
+    precision=None,
+    batch_tile: Optional[int] = None,
+) -> Callable:
+    """Return fn: Cplx (..., n) -> Cplx (..., n), the 3-stage fused kernel."""
+    assert np.dtype(dtype) == np.complex64, "fused kernel is c64/f32 only"
+    pqq = split or choose_pqq_fused(n)
+    assert pqq is not None, f"no 3-stage fused split for n={n}"
+    p, q1, q2 = pqq
+    q = q1 * q2
+    assert p * q == n
+    rdt = np.float32
+    if precision is None:
+        precision = config.pallas_precision
+    if interpret and precision == "bf16x3":
+        precision = jax.lax.Precision.HIGHEST
+
+    wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)
+    w1 = calg.block_mid(twiddles.dft_matrix(q1, direction), rdt)
+    w2 = calg.block_mid(twiddles.dft_matrix(q2, direction), rdt)
+    if precision == "bf16x3":
+        wp_hi, wp_lo = _split_bf16(wp)
+        w1_hi, w1_lo = _split_bf16(w1)
+        w2_hi, w2_lo = _split_bf16(w2)
+    else:
+        zeros = lambda w: np.zeros_like(w, dtype=jnp.bfloat16)
+        wp_hi, wp_lo = wp, zeros(wp)
+        w1_hi, w1_lo = w1, zeros(w1)
+        w2_hi, w2_lo = w2, zeros(w2)
+    t1 = twiddles.twiddle_table(p, q, direction).T  # (q, p) [j2, k1]
+    t2 = twiddles.twiddle_table(q1, q2, direction)  # (q1, q2) [ka, jb]
+    consts = [
+        wp_hi, wp_lo, w1_hi, w1_lo, w2_hi, w2_lo,
+        np.ascontiguousarray(t1.real).astype(rdt),
+        np.ascontiguousarray(t1.imag).astype(rdt),
+        np.ascontiguousarray(t2.real).astype(rdt),
+        np.ascontiguousarray(t2.imag).astype(rdt),
+    ]
+
+    def call(xr, xi, tb):
+        batch = xr.shape[0]
+        grid = batch // tb
+        kernel = functools.partial(_fused_kernel_3s, p, q1, q2, tb, precision)
+        in_bspec = pl.BlockSpec((tb * p, q), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        out_bspec = pl.BlockSpec((tb * q, p), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+        def cspec(w):
+            return pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+        out_r, out_i = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[in_bspec, in_bspec] + [cspec(w) for w in consts],
+            out_specs=[out_bspec, out_bspec],
+            out_shape=[jax.ShapeDtypeStruct((batch * q, p), jnp.float32)] * 2,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=config.pallas_vmem_limit
+            ),
+            interpret=interpret,
+        )(
+            xr.reshape(batch * p, q),
+            xi.reshape(batch * p, q),
+            *[jnp.asarray(w) for w in consts],
+        )
+        return out_r.reshape(batch, n), out_i.reshape(batch, n)
+
+    def apply(x):
+        xr, xi = x
+        shape = xr.shape
+        flat_r = xr.reshape(-1, n)
+        flat_i = xi.reshape(-1, n)
+        batch = flat_r.shape[0]
+        tb = batch_tile or _pick_batch_tile(batch, p, q)
+        pad = (-batch) % tb
+        if pad:
+            flat_r = jnp.pad(flat_r, ((0, pad), (0, 0)))
+            flat_i = jnp.pad(flat_i, ((0, pad), (0, 0)))
+        out_r, out_i = call(flat_r, flat_i, tb)
+        if pad:
+            out_r = out_r[:batch]
+            out_i = out_i[:batch]
+        return out_r.reshape(shape), out_i.reshape(shape)
+
+    return apply

@@ -233,3 +233,52 @@ def test_pinned_algorithm_skips_fused(monkeypatch):
     # planner-built plans of the same length DO consult it
     FftPlanner().plan_fft_forward(4096)
     assert 4096 in calls
+
+
+@pytest.mark.parametrize(
+    "direction", [FftDirection.FORWARD, FftDirection.INVERSE]
+)
+@pytest.mark.parametrize("n,radices", [
+    (1024, None), (3888, None), (3888, (16, 243)), (720, None), (243, None),
+    (4096, (16, 16, 16)),
+])
+def test_lanepack_matches_oracle(n, radices, direction):
+    """Batch-in-lanes kernel (ops/pallas/lanepack.py): transforms in sublanes,
+    arbitrary (unaligned) radices — the 3n2m class and the small-n tier."""
+    from rustfft_tpu.ops.pallas import lanepack
+
+    fn = lanepack.make_lanepack_fn(
+        n, direction, np.complex64, radices=radices, interpret=True
+    )
+    batch = 130  # not a multiple of 128: exercises group padding
+    sig = random_signal(batch * n, dtype=np.complex64, seed=5 + n).reshape(batch, n)
+    o_r, o_i = fn((sig.real, sig.imag))
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    err = mean_element_error(out, oracle_dft(sig, direction))
+    assert err < 1e-2, (n, radices, direction, err)
+
+
+@pytest.mark.parametrize(
+    "direction", [FftDirection.FORWARD, FftDirection.INVERSE]
+)
+@pytest.mark.parametrize("n", [16384, 65536])
+def test_fused_three_stage_matches_oracle(n, direction):
+    """3-stage fused kernel: n = p*q1*q2 in one VMEM pass (fused.py)."""
+    fn = fused.make_fused_three_stage_fn(
+        n, direction, np.complex64, interpret=True, batch_tile=2
+    )
+    sig = random_signal(2 * n, dtype=np.complex64, seed=9).reshape(2, n)
+    o_r, o_i = fn((sig.real, sig.imag))
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    err = mean_element_error(out, oracle_dft(sig, direction))
+    assert err < 1e-2, (n, direction, err)
+
+
+def test_lanepack_supported_rules():
+    from rustfft_tpu.ops.pallas import lanepack
+
+    assert lanepack.lanepack_supported(3888, np.complex64)
+    assert lanepack.lanepack_supported(1024, np.complex64)
+    assert not lanepack.lanepack_supported(1009, np.complex64)  # prime
+    assert not lanepack.lanepack_supported(3888, np.complex128)  # c64 only
+    assert not lanepack.lanepack_supported(2, np.complex64)

@@ -1,0 +1,90 @@
+"""Perf experiment: lanepack (batch-in-lanes) kernel vs fused kernel vs XLA.
+
+Run on the TPU host:
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/perf_lanepack.py [n ...]
+
+Within-run comparison only (the chip is time-shared; CLAUDE.md).
+"""
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def time_fn(fn, re, im, iters=8):
+    import jax
+
+    @jax.jit
+    def many(x):
+        x = jax.lax.fori_loop(0, iters, lambda i, x: fn(x), x)
+        return x[0].sum() + x[1].sum()
+
+    @jax.jit
+    def nothing(x):
+        return x[0][0, 0] + x[1][0, 0]
+
+    float(many((re, im)))
+    float(nothing((re, im)))
+    t0 = time.perf_counter()
+    float(nothing((re, im)))
+    t_over = time.perf_counter() - t0
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(many((re, im)))
+        t = time.perf_counter() - t0
+        best = t if best is None else min(best, t)
+    return max((best - t_over) / iters, 1e-9)
+
+
+def main():
+    import jax
+
+    from rustfft_tpu import FftDirection, FftPlanner
+    from rustfft_tpu.config import config
+    from rustfft_tpu.ops.pallas import fused, lanepack
+
+    sizes = [int(a) for a in sys.argv[1:]] or [1024, 2048, 3888, 4096, 7776]
+    rng = np.random.default_rng(0)
+    d = FftDirection.FORWARD
+
+    for n in sizes:
+        batch = max(128, 1 << (((1 << 26) // n).bit_length() - 1))  # ~64M points, pow2 batch
+        re = jax.device_put((rng.standard_normal((batch, n)) * 1e-30).astype(np.float32))
+        im = jax.device_put((rng.standard_normal((batch, n)) * 1e-30).astype(np.float32))
+        gf = 5.0 * batch * n * math.log2(n) / 1e9
+
+        rows = []
+        # XLA planner path
+        config.use_pallas = "off"
+        plan = FftPlanner().plan_fft_forward(n)
+        rows.append(("xla", time_fn(plan.raw_fn, re, im)))
+        config.use_pallas = "auto"
+
+        # fused two-stage (only when supported)
+        if fused.fused_supported(n, np.complex64):
+            try:
+                fn = fused.make_fused_two_stage_fn(n, d, np.complex64)
+                rows.append(("fused", time_fn(fn, re, im)))
+            except Exception as e:  # noqa: BLE001
+                rows.append((f"fused FAILED {type(e).__name__}", float("inf")))
+
+        # lanepack at group 1, 2, 4
+        if lanepack.lanepack_supported(n, np.complex64):
+            for g in (1, 2, 4):
+                try:
+                    fn = lanepack.make_lanepack_fn(n, d, np.complex64, group=g)
+                    rows.append((f"lane g={g}", time_fn(fn, re, im)))
+                except Exception as e:  # noqa: BLE001
+                    rows.append((f"lane g={g} FAILED {type(e).__name__}: {e}"[:120], float("inf")))
+
+        for name, t in rows:
+            print(f"n={n:>6} {name:<28} {t*1e3:8.3f} ms  {gf/t:8.1f} GF/s", flush=True)
+        print()
+
+
+if __name__ == "__main__":
+    main()
