@@ -294,12 +294,25 @@ def make_fused_two_stage_fn(
     precision=None,
     variant: Optional[str] = None,
     batch_tile: Optional[int] = None,
+    in_place: bool = False,
 ) -> Callable:
-    """Return fn: Cplx (..., n) -> Cplx (..., n) running the fused kernel."""
+    """Return fn: Cplx (..., n) -> Cplx (..., n) running the fused kernel.
+
+    in_place=True aliases the input HBM buffers to the outputs
+    (pl.pallas_call input_output_aliases) — the reference's in-place
+    execution model (lib.rs:195-211).  Only legal for square splits
+    (p == q, so in/out blocks share a shape) with the in-kernel transpose.
+    XLA inserts a defensive copy unless the caller donates the operands
+    (jit donate_argnums / a loop carry), which is exactly when it pays:
+    aliased streaming measured ~0.8x of the stream bound on v5e.
+    """
     assert np.dtype(dtype) == np.complex64, "fused kernel is c64/f32 only"
     pq = split or _choose_pq(n)
     assert pq is not None, f"no fused split for n={n}"
     p, q = pq
+    if in_place:
+        assert p == q, f"in_place fused kernel needs a square split, got {pq}"
+        variant = variant or "transpose_in_kernel"
     if variant is None:
         # measured on v5e: the in-kernel lane transpose only compiles/wins
         # when the output lane dim p fills the 128-wide VPU; otherwise let
@@ -372,6 +385,7 @@ def make_fused_two_stage_fn(
                 jax.ShapeDtypeStruct((grid * out_block[0], out_block[1]), jnp.float32),
                 jax.ShapeDtypeStruct((grid * out_block[0], out_block[1]), jnp.float32),
             ],
+            input_output_aliases={0: 0, 1: 1} if in_place else {},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=config.pallas_vmem_limit
             ),

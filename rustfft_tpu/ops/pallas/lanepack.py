@@ -102,18 +102,27 @@ def lanepack_supported(n: int, dtype) -> bool:
     return consts + tile <= int(config.pallas_vmem_limit * 0.9)
 
 
-def _stage(w_hi, w_lo, x, rhs_dim, precision):
-    """Weights-as-lhs contraction of one sublane factor; lanes untouched."""
-    dims = (((1,), (rhs_dim,)), ((), ()))
-    return contract_wlhs(w_hi, w_lo, x, dims, precision)
-
-
 def _kernel(n, radices, g, precision, xr_ref, xi_ref, *refs):
-    """One group: (g*LANES, n) natural [b, j] -> same shape, FFT over j."""
+    """One group: (g*LANES, n) natural [b, j] -> same shape, FFT over j.
+
+    Stages are concat-free: each contracts the [re | im] halves with the two
+    K-halves of the block DFT matrix (wA = W[:, :r], wB = W[:, r:]), dodging
+    two whole-tile VMEM copies per stage — Mosaic stack-allocates every
+    temporary in the block, so peak VMEM, not HBM traffic, is the binding
+    constraint here.
+    """
     k = len(radices)
-    w_refs = refs[: 2 * k]
-    tw_refs = refs[2 * k : 2 * k + 2 * (k - 1)]
+    w_refs = refs[: 4 * k]  # per stage: wA_hi, wA_lo, wB_hi, wB_lo
+    tw_refs = refs[4 * k : 4 * k + 2 * (k - 1)]
     or_ref, oi_ref = refs[-2:]
+
+    def stage(s, vr, vi):
+        """out[k_s, ...] = sum_j W[k_s, j] v[..., j at dim 1, ...]."""
+        dims = (((1,), (1,)), ((), ()))
+        wA_hi, wA_lo, wB_hi, wB_lo = (w_refs[4 * s + t][:] for t in range(4))
+        return contract_wlhs(wA_hi, wA_lo, vr, dims, precision) + contract_wlhs(
+            wB_hi, wB_lo, vi, dims, precision
+        )
 
     outs_r = []
     outs_i = []
@@ -124,9 +133,12 @@ def _kernel(n, radices, g, precision, xr_ref, xi_ref, *refs):
         tr = jnp.swapaxes(xr, 0, 1)  # (n, L)
         ti = jnp.swapaxes(xi, 0, 1)
 
-        # DIT over j = j1*(r2*r3..) + j2*(r3..) + ...: stage s contracts r_s.
-        # Loop invariant: data shaped (done..., r_s, rest, L) flattened as
-        # (prod(k_done), r_s * rest, L) with k-order reversed (natural flat).
+        # DIT over j = j1*(r2*r3..) + j2*(r3..) + ...: stage s contracts r_s
+        # (the most significant remaining digit of j).  Invariant: data is
+        # (lead, rest*..., L) where lead holds the already-produced k digits,
+        # most recent leading; flattening (k_s, lead) each stage yields the
+        # final flat index k = k_last*(r_{last-1}..r_1) + .. + k_2*r_1 + k_1,
+        # which is exactly natural ascending frequency order.
         rest = n
         vr = tr.reshape(1, n, LANES)
         vi = ti.reshape(1, n, LANES)
@@ -135,27 +147,17 @@ def _kernel(n, radices, g, precision, xr_ref, xi_ref, *refs):
             lead = vr.shape[0]
             vr = vr.reshape(lead, r, rest, LANES)
             vi = vi.reshape(lead, r, rest, LANES)
-            vb = jnp.concatenate([vr, vi], axis=1)  # (lead, 2r, rest, L)
-            w_hi = w_refs[2 * s][:]
-            w_lo = w_refs[2 * s + 1][:]
-            # out[k_s, lead, rest, L] — k_s lands leading (natural order
-            # accumulates left), lanes untouched
-            a = _stage(w_hi, w_lo, vb, 1, precision)
+            a = stage(s, vr, vi)  # (2r, lead, rest, L) [k_s, lead, j', L]
             ar, ai = a[:r], a[r:]
             if s < k - 1:
-                # twiddle w_{r*rest}^(k_s * j_next) over the remaining axes,
-                # broadcast over lead and lanes: tables (r, rest, 1)
+                # twiddle w_{r*rest}^(k_s * j') over the remaining digits,
+                # broadcast over lead and lanes
                 twr = tw_refs[2 * s][:].reshape(r, 1, rest, 1)
                 twi = tw_refs[2 * s + 1][:].reshape(r, 1, rest, 1)
                 br = ar * twr - ai * twi
                 bi = ar * twi + ai * twr
             else:
                 br, bi = ar, ai
-            # fold k_s into the lead axis: new flat index k_s*lead_prev + prev
-            # is wrong — the DIT index is k = ... + k_s * (stride); keeping
-            # k_s leading then flattening (k_s, lead) gives k_s-major, which
-            # combined over stages yields k = k_last*...*r2 + ... + k_1?  See
-            # derivation in tests: final flat order IS natural ascending.
             vr = br.reshape(r * lead, rest, LANES)
             vi = bi.reshape(r * lead, rest, LANES)
         outr = jnp.swapaxes(vr.reshape(n, LANES), 0, 1)  # (L, n)
@@ -194,10 +196,13 @@ def make_lanepack_fn(
     consts = []
     for r in radices:
         w = calg.block_mid(twiddles.dft_matrix(r, direction), rdt)  # (2r, 2r)
-        if precision == "bf16x3":
-            consts.extend(_split_bf16(w))
-        else:
-            consts.extend((w, np.zeros_like(w, dtype=jnp.bfloat16)))
+        # K-halves for the concat-free stages: wA against re, wB against im
+        for half in (w[:, :r], w[:, r:]):
+            half = np.ascontiguousarray(half)
+            if precision == "bf16x3":
+                consts.extend(_split_bf16(half))
+            else:
+                consts.extend((half, np.zeros_like(half, dtype=jnp.bfloat16)))
     # inter-stage twiddles: after contracting r_s, twiddle w_{r_s*rest}^(k_s*j)
     rest = n
     for r in radices[:-1]:

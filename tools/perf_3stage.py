@@ -8,8 +8,12 @@ from __future__ import annotations
 import math
 import sys
 
+import os
+import sys
+
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from perf_lanepack import time_fn
 
 

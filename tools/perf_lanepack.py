@@ -57,32 +57,42 @@ def main():
         im = jax.device_put((rng.standard_normal((batch, n)) * 1e-30).astype(np.float32))
         gf = 5.0 * batch * n * math.log2(n) / 1e9
 
-        rows = []
+        def row(name, thunk):
+            try:
+                t = thunk()
+            except Exception as e:  # noqa: BLE001
+                print(f"n={n:>6} {name:<28} FAILED {type(e).__name__}: {e}"[:140],
+                      flush=True)
+                return
+            print(f"n={n:>6} {name:<28} {t*1e3:8.3f} ms  {gf/t:8.1f} GF/s",
+                  flush=True)
+
+        # lanepack at group 1, 2 (the experiment) first
+        if lanepack.lanepack_supported(n, np.complex64):
+            for g in (1, 2):
+                row(f"lane g={g}", lambda g=g: time_fn(
+                    lanepack.make_lanepack_fn(n, d, np.complex64, group=g), re, im))
+            for radices in ({1024: [(32, 32), (128, 8), (64, 16), (256, 4)],
+                             2048: [(128, 16), (256, 8), (64, 32)],
+                             3888: [(48, 81), (243, 16), (162, 24), (16, 243)],
+                             512: [(64, 8), (128, 4), (32, 16)],
+                             4096: [(64, 64), (128, 32), (256, 16)]}.get(n) or []):
+                row(f"lane r={radices}", lambda radices=radices: time_fn(
+                    lanepack.make_lanepack_fn(n, d, np.complex64, radices=radices),
+                    re, im))
+
         # XLA planner path
         config.use_pallas = "off"
         plan = FftPlanner().plan_fft_forward(n)
-        rows.append(("xla", time_fn(plan.raw_fn, re, im)))
+        row("xla", lambda: time_fn(plan.raw_fn, re, im))
         config.use_pallas = "auto"
 
-        # fused two-stage (only when supported)
-        if fused.fused_supported(n, np.complex64):
-            try:
-                fn = fused.make_fused_two_stage_fn(n, d, np.complex64)
-                rows.append(("fused", time_fn(fn, re, im)))
-            except Exception as e:  # noqa: BLE001
-                rows.append((f"fused FAILED {type(e).__name__}", float("inf")))
-
-        # lanepack at group 1, 2, 4
-        if lanepack.lanepack_supported(n, np.complex64):
-            for g in (1, 2, 4):
-                try:
-                    fn = lanepack.make_lanepack_fn(n, d, np.complex64, group=g)
-                    rows.append((f"lane g={g}", time_fn(fn, re, im)))
-                except Exception as e:  # noqa: BLE001
-                    rows.append((f"lane g={g} FAILED {type(e).__name__}: {e}"[:120], float("inf")))
-
-        for name, t in rows:
-            print(f"n={n:>6} {name:<28} {t*1e3:8.3f} ms  {gf/t:8.1f} GF/s", flush=True)
+        # fused two-stage: skip misaligned splits (q % 128), which are known
+        # to wedge/500 the remote Mosaic compile (CLAUDE.md)
+        split = fused._choose_pq(n)
+        if split and split[1] % 128 == 0:
+            row(f"fused {split}", lambda: time_fn(
+                fused.make_fused_two_stage_fn(n, d, np.complex64), re, im))
         print()
 
 
