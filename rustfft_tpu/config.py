@@ -37,11 +37,23 @@ class FftConfig:
     #: also the CPU path).
     use_pallas: str = "auto"
 
-    #: Smallest transform the fused Pallas kernel takes over from the XLA
+    #: Smallest transform the Pallas kernel tier takes over from the XLA
     #: path ("auto" mode).  Below this, a single dense-DFT matmul that XLA
     #: fuses with neighboring ops wins over a separate kernel launch
-    #: (measured crossover on v5e: XLA wins at <= 2048, fused wins at 4096).
-    pallas_min_n: int = 4096
+    #: (measured crossover on v5e: lanepack beats XLA from ~512 up).
+    pallas_min_n: int = 512
+
+    #: Largest transform routed to the batch-in-lanes kernel
+    #: (ops/pallas/lanepack.py) when a lane-aligned fused split also exists;
+    #: misaligned sizes use lanepack as far as its VMEM bound allows.
+    #: Measured on v5e: lanepack wins to 2048, the two-stage fused kernel
+    #: wins at 4096.
+    lanepack_max_n: int = 2048
+
+    #: Smallest transform routed to the three-stage fused kernel when its
+    #: (p, q1, q2) split exists; below this the two-stage kernel's fewer
+    #: intermediates win.
+    three_stage_min_n: int = 16384
 
     #: MXU precision inside Pallas kernels.  "bf16x3" = manual 3-pass bf16
     #: emulation (f32-grade accuracy at half the passes of HIGHEST, which

@@ -70,24 +70,43 @@ def _pallas_mode() -> str:
 def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[Callable]:
     """Fused whole-transform Pallas kernel when the routing rules allow it.
 
-    Single-pass VMEM-resident kernel for mid sizes; the two-kernel pipeline
-    (ops/pallas/large.py) for sizes beyond VMEM.
+    Tiers (all thresholds measured on v5e, see config):
+      1. lanepack (batch-in-lanes, ops/pallas/lanepack.py): the small-n band
+         and every lane-misaligned composite (2^a*3^b etc.) its VMEM bound
+         admits — sublane stages need no 128-alignment.
+      2. two-stage fused (ops/pallas/fused.py): mid sizes with q % 128 == 0.
+      3. three-stage fused: the 16k..262k band — same single HBM pass, ~3x
+         fewer MXU flops.
+      4. large two-kernel pipeline (ops/pallas/large.py): beyond VMEM.
     """
     if mode == "off":
         return None
-    from .ops.pallas import fused, large
+    from .ops.pallas import fused, lanepack, large
 
     interpret = mode == "interpret"
     if mode == "tpu" and n < config.pallas_min_n:
         return None
+
+    aligned = None
     if fused.fused_supported(n, dtype):
-        if mode == "tpu":
-            # routing rule (measured on v5e): the fused kernel only beats the
-            # XLA path when its stage-1 GEMM has a lane dim filling the MXU
-            # (q a multiple of 128); e.g. 3888 = 54*72 is 2x slower fused.
-            split = fused._choose_pq(n)
-            if split is None or split[1] % 128 != 0:
-                return None
+        split = fused._choose_pq(n)
+        aligned = split is not None and split[1] % 128 == 0
+
+    # tier 1: lanepack for the small band, and for misaligned sizes (where
+    # the lane-aligned kernels would waste most of each MXU/DMA row)
+    if lanepack.lanepack_supported(n, dtype):
+        if n <= config.lanepack_max_n or not aligned:
+            return lanepack.make_lanepack_fn(n, direction, dtype, interpret=interpret)
+
+    if aligned:
+        # tier 3 first: fewer MXU flops at equal HBM traffic
+        if n >= config.three_stage_min_n and fused.three_stage_supported(n, dtype):
+            return fused.make_fused_three_stage_fn(
+                n, direction, dtype, interpret=interpret
+            )
+        return fused.make_fused_two_stage_fn(n, direction, dtype, interpret=interpret)
+    if fused.fused_supported(n, dtype) and mode != "tpu":
+        # interpret mode keeps exercising the plain fused kernel off-TPU
         return fused.make_fused_two_stage_fn(n, direction, dtype, interpret=interpret)
     if large.large_supported(n, dtype):
         return large.make_large_fft_fn(n, direction, dtype, interpret=interpret)
@@ -124,8 +143,9 @@ def build(
     # cache, or mutating config (config.py documents this) returns stale fns
     key = (
         recipe, direction, dtype, mode, allow_fused,
-        config.pallas_min_n, config.pallas_precision,
-        config.pallas_vmem_limit, config.matmul_precision,
+        config.pallas_min_n, config.lanepack_max_n, config.three_stage_min_n,
+        config.pallas_precision, config.pallas_vmem_limit,
+        config.matmul_precision,
     )
     fn = _CACHE.get(key)
     if fn is None:

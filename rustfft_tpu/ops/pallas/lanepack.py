@@ -51,41 +51,55 @@ MAX_STAGE = 256
 
 
 def choose_radices(n: int) -> Optional[Tuple[int, ...]]:
-    """Split n into 2..3 factors <= MAX_STAGE, minimizing sum (MXU flops).
+    """Split n into 2..3 factors <= MAX_STAGE, big radix first.
+
+    Measured on v5e: two stages with a small trailing radix near 16 beat
+    both balanced splits and 3-stage min-sum splits ((243,16) > (48,81) >
+    (12,18,18) at n=3888; (64,16) ~ (32,32) > (256,4) at n=1024) — fewer,
+    fatter MXU passes win over minimum flops.  Rule: r2 = the divisor in
+    [8, 32] nearest 16 with r1 = n/r2 <= MAX_STAGE; fall back to the
+    min-sum 2-stage then 3-stage split.
 
     Returns None when n has no such factorization (e.g. a prime > MAX_STAGE).
     """
+    best_tail = None
+    for r2 in range(8, 33):
+        if n % r2:
+            continue
+        r1 = n // r2
+        if r1 < 2 or r1 > MAX_STAGE:
+            continue
+        key = abs(r2 - 16)
+        if best_tail is None or key < best_tail[0]:
+            best_tail = (key, (r1, r2))
+    if best_tail is not None:
+        return best_tail[1]
     best2 = None
     for r1 in range(2, MAX_STAGE + 1):
         if n % r1:
             continue
         r2 = n // r1
-        if r2 <= MAX_STAGE:
+        if 2 <= r2 <= MAX_STAGE:
             key = (r1 + r2, abs(r1 - r2))
             if best2 is None or key < best2[0]:
-                best2 = (key, (r1, r2))
+                best2 = (key, (max(r1, r2), min(r1, r2)))
+    if best2 is not None:
+        return best2[1]
     best3 = None
     for r1 in range(2, MAX_STAGE + 1):
         if n % r1:
             continue
         rest = n // r1
-        for r2 in range(r1, MAX_STAGE + 1):
+        for r2 in range(2, MAX_STAGE + 1):
             if rest % r2:
                 continue
             r3 = rest // r2
-            if r3 <= MAX_STAGE and r3 >= 2:
+            if 2 <= r3 <= MAX_STAGE:
                 key = (r1 + r2 + r3, max(r1, r2, r3))
+                rs = tuple(sorted((r1, r2, r3), reverse=True))
                 if best3 is None or key < best3[0]:
-                    best3 = (key, (r1, r2, r3))
-    if best2 is None and best3 is None:
-        return None
-    if best2 is None:
-        return best3[1]
-    if best3 is None:
-        return best2[1]
-    # fewer flops wins; a 3-stage split must beat the 2-stage sum to justify
-    # the extra twiddle pass
-    return best3[1] if sum(best3[1]) < sum(best2[1]) else best2[1]
+                    best3 = (key, rs)
+    return best3[1] if best3 is not None else None
 
 
 def lanepack_supported(n: int, dtype) -> bool:
@@ -124,14 +138,22 @@ def _kernel(n, radices, g, precision, xr_ref, xi_ref, *refs):
             wB_hi, wB_lo, vi, dims, precision
         )
 
+    # transposes of lane-misaligned widths (n % 128) lower to a slow Mosaic
+    # path; pad the lane axis to the VREG boundary first, slice sublanes after
+    n_pad = -(-n // LANES) * LANES
+
     outs_r = []
     outs_i = []
     for gi in range(g):
         xr = xr_ref[gi * LANES : (gi + 1) * LANES, :]  # (L, n)
         xi = xi_ref[gi * LANES : (gi + 1) * LANES, :]
+        if n_pad != n:
+            pad = jnp.zeros((LANES, n_pad - n), jnp.float32)
+            xr = jnp.concatenate([xr, pad], axis=1)
+            xi = jnp.concatenate([xi, pad], axis=1)
         # lane<->sublane transpose: n -> sublanes, batch -> lanes
-        tr = jnp.swapaxes(xr, 0, 1)  # (n, L)
-        ti = jnp.swapaxes(xi, 0, 1)
+        tr = jnp.swapaxes(xr, 0, 1)[:n, :]  # (n, L)
+        ti = jnp.swapaxes(xi, 0, 1)[:n, :]
 
         # DIT over j = j1*(r2*r3..) + j2*(r3..) + ...: stage s contracts r_s
         # (the most significant remaining digit of j).  Invariant: data is
@@ -160,8 +182,14 @@ def _kernel(n, radices, g, precision, xr_ref, xi_ref, *refs):
                 br, bi = ar, ai
             vr = br.reshape(r * lead, rest, LANES)
             vi = bi.reshape(r * lead, rest, LANES)
-        outr = jnp.swapaxes(vr.reshape(n, LANES), 0, 1)  # (L, n)
-        outi = jnp.swapaxes(vi.reshape(n, LANES), 0, 1)
+        vr = vr.reshape(n, LANES)
+        vi = vi.reshape(n, LANES)
+        if n_pad != n:
+            pad = jnp.zeros((n_pad - n, LANES), jnp.float32)
+            vr = jnp.concatenate([vr, pad], axis=0)
+            vi = jnp.concatenate([vi, pad], axis=0)
+        outr = jnp.swapaxes(vr, 0, 1)[:, :n]  # (L, n)
+        outi = jnp.swapaxes(vi, 0, 1)[:, :n]
         outs_r.append(outr)
         outs_i.append(outi)
     or_ref[:] = jnp.concatenate(outs_r, axis=0) if g > 1 else outs_r[0]
@@ -227,8 +255,12 @@ def make_lanepack_fn(
             in_specs=[bspec, bspec] + [cspec(w) for w in consts],
             out_specs=[bspec, bspec],
             out_shape=[jax.ShapeDtypeStruct((batch, n), jnp.float32)] * 2,
+            # Mosaic stack-allocates every block temporary AND double-buffers
+            # the IO blocks across grid steps; the transposes make this
+            # kernel temp-heavy, so give it headroom beyond the default
+            # budget (v5e has 128MB physical VMEM/core).
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=config.pallas_vmem_limit
+                vmem_limit_bytes=max(config.pallas_vmem_limit, 100 * 2**20)
             ),
             interpret=interpret,
         )(xr, xi, *[jnp.asarray(w) for w in consts])

@@ -360,10 +360,30 @@ class FftPlannerTpu(_PlannerBase):
         return executor._pallas_mode() in ("tpu", "interpret")
 
     def _aligned_conv_inner(self, length: int) -> Optional[int]:
-        """Smallest conv-kernel-aligned inner size m >= 2*length - 1, if any."""
+        """Smallest conv-kernel-aligned Bluestein inner size m >= 2n-1.
+
+        The reference AVX planner searches all 2^a*3^b candidates above the
+        bound instead of just pow2 / 3*2^k (avx_planner.rs:945-994); the TPU
+        analogue searches the same family but filters for conv-kernel lane
+        alignment (the inner FFT runs inside the fused convolution kernel,
+        ops/pallas/conv.py) and minimizes m — fewer points beats smoother
+        structure on the MXU.
+        """
         from .ops.pallas import conv
 
-        for m in sorted(_bluestein_inner_candidates(length)):
+        candidates = set(_bluestein_inner_candidates(length))
+        min_inner = 2 * length - 1
+        # all 2^a*3^b in [2n-1, 2*(2n-1)): beyond 2x the bound the pow2
+        # candidate is always at least as small
+        p3 = 1
+        while p3 < 2 * min_inner:
+            m = p3
+            while m < min_inner:
+                m *= 2
+            if m < 2 * min_inner:
+                candidates.add(m)
+            p3 *= 3
+        for m in sorted(candidates):
             if conv.conv_supported(m, self.dtype):
                 return m
         return None
