@@ -51,9 +51,18 @@ class FftConfig:
     lanepack_max_n: int = 2048
 
     #: Smallest transform routed to the three-stage fused kernel when its
-    #: (p, q1, q2) split exists; below this the two-stage kernel's fewer
-    #: intermediates win.
-    three_stage_min_n: int = 16384
+    #: (p, q1, q2) split exists.  Measured on v5e: the kernel is MXU-PASS
+    #: bound, not flop bound — the small-factor stages (K = q1 < 128) waste
+    #: the systolic array, so 3-stage loses to 2-stage at 16k..131k (497 vs
+    #: 858 GF/s at 16k) and to the large pipeline at 262k (560 vs 621).
+    #: Disabled by default; the kernel stays available for explicit use.
+    three_stage_min_n: int = 1 << 40
+
+    #: Smallest transform routed to the two-kernel large pipeline even when
+    #: a single-kernel fused split exists (measured at 262144: large 621 vs
+    #: 2-stage 390 GF/s — the (512, 512) split's K=1024 contractions lose to
+    #: two passes with fatter tiles).
+    large_min_n: int = 262144
 
     #: MXU precision inside Pallas kernels.  "bf16x3" = manual 3-pass bf16
     #: emulation (f32-grade accuracy at half the passes of HIGHEST, which

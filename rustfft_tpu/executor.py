@@ -98,8 +98,12 @@ def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[
         if n <= config.lanepack_max_n or not aligned:
             return lanepack.make_lanepack_fn(n, direction, dtype, interpret=interpret)
 
+    # tier 4 outranks a feasible-but-slower single-kernel split at the top
+    # of the fused range (see config.large_min_n)
+    if n >= config.large_min_n and large.large_supported(n, dtype):
+        return large.make_large_fft_fn(n, direction, dtype, interpret=interpret)
+
     if aligned:
-        # tier 3 first: fewer MXU flops at equal HBM traffic
         if n >= config.three_stage_min_n and fused.three_stage_supported(n, dtype):
             return fused.make_fused_three_stage_fn(
                 n, direction, dtype, interpret=interpret
@@ -144,7 +148,7 @@ def build(
     key = (
         recipe, direction, dtype, mode, allow_fused,
         config.pallas_min_n, config.lanepack_max_n, config.three_stage_min_n,
-        config.pallas_precision, config.pallas_vmem_limit,
+        config.large_min_n, config.pallas_precision, config.pallas_vmem_limit,
         config.matmul_precision,
     )
     fn = _CACHE.get(key)
