@@ -47,6 +47,8 @@ from ... import twiddles
 from .. import calg
 from .fused import _choose_pq, _split_bf16, contract_rhs, contract_wlhs
 
+from .util import i32map
+
 
 def conv_supported(m: int, dtype) -> bool:
     """The kernel needs an MXU-shaped split of m and c64 data."""
@@ -334,11 +336,11 @@ def make_conv_fn(
             _kernel, p, q, tb, p_in, p_out, precision, conj_out, has_pre,
             has_post,
         )
-        in_bspec = pl.BlockSpec((tb * p_in, q), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        out_bspec = pl.BlockSpec((tb * p_out, q), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        in_bspec = pl.BlockSpec((tb * p_in, q), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
+        out_bspec = pl.BlockSpec((tb * p_out, q), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
 
         def cspec(w):
-            return pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            return pl.BlockSpec(w.shape, i32map(lambda i: (0, 0)), memory_space=pltpu.VMEM)
 
         out_r, out_i = pl.pallas_call(
             kernel,

@@ -39,6 +39,8 @@ from ...config import config
 from ... import twiddles
 from .. import calg
 
+from .util import i32map
+
 #: largest fused transform: p, q <= 512 with the constant tables (two DFT
 #: blocks + twiddle table) and a (TB, n) tile within the 16MB VMEM.
 MAX_FUSED_N = 512 * 512
@@ -370,11 +372,11 @@ def make_fused_two_stage_fn(
             kernel = functools.partial(_fused_kernel, p, q, tb, precision, variant)
         # 2D blocks: measurably faster DMA than equivalent 3D blocks
         out_block = (tb * q, p) if transpose_in_kernel else (tb * p, q)
-        in_bspec = pl.BlockSpec((tb * p, q), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        out_bspec = pl.BlockSpec(out_block, lambda i: (i, 0), memory_space=pltpu.VMEM)
+        in_bspec = pl.BlockSpec((tb * p, q), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
+        out_bspec = pl.BlockSpec(out_block, i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
 
         def const_spec(w):
-            return pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            return pl.BlockSpec(w.shape, i32map(lambda i: (0, 0)), memory_space=pltpu.VMEM)
 
         out_r, out_i = pl.pallas_call(
             kernel,
@@ -573,11 +575,11 @@ def make_fused_three_stage_fn(
         batch = xr.shape[0]
         grid = batch // tb
         kernel = functools.partial(_fused_kernel_3s, p, q1, q2, tb, precision)
-        in_bspec = pl.BlockSpec((tb * p, q), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        out_bspec = pl.BlockSpec((tb * q, p), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        in_bspec = pl.BlockSpec((tb * p, q), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
+        out_bspec = pl.BlockSpec((tb * q, p), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
 
         def cspec(w):
-            return pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            return pl.BlockSpec(w.shape, i32map(lambda i: (0, 0)), memory_space=pltpu.VMEM)
 
         out_r, out_i = pl.pallas_call(
             kernel,

@@ -42,6 +42,8 @@ from ... import twiddles
 from .. import calg
 from .fused import _split_bf16, contract_wlhs
 
+from .util import i32map
+
 #: lanes per transform group == the VPU/MXU lane width
 LANES = 128
 
@@ -253,10 +255,10 @@ def make_lanepack_fn(
         rows = g * LANES
         grid = batch // rows
         kernel = functools.partial(_kernel, n, radices, g, precision)
-        bspec = pl.BlockSpec((rows, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        bspec = pl.BlockSpec((rows, n), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
 
         def cspec(w):
-            return pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            return pl.BlockSpec(w.shape, i32map(lambda i: (0, 0)), memory_space=pltpu.VMEM)
 
         out_r, out_i = pl.pallas_call(
             kernel,

@@ -51,6 +51,8 @@ from ... import twiddles
 from .. import calg
 from .fused import _split_bf16, contract_rhs as _contract, contract_wlhs
 
+from .util import i32map
+
 
 def _kernel_a(p, qt, precision, xr_ref, xi_ref, wp_hi_ref, wp_lo_ref,
               twr_ref, twi_ref, or_ref, oi_ref):
@@ -256,7 +258,7 @@ def make_large_fft_fn(
     cparams = pltpu.CompilerParams(vmem_limit_bytes=config.pallas_vmem_limit)
 
     def const_spec(w, ndim=2):
-        return pl.BlockSpec(w.shape, lambda *_: (0,) * ndim, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(w.shape, i32map(lambda *_: (0,) * ndim), memory_space=pltpu.VMEM)
 
     def call(xr, xi):
         batch = xr.shape[0]
@@ -266,16 +268,16 @@ def make_large_fft_fn(
             kernel_a,
             grid=(q // qt, batch),  # batch fastest: twiddle block stays put
             in_specs=[
-                pl.BlockSpec((1, p, qt), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, p, qt), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p, qt), i32map(lambda qi, b: (b, 0, qi)), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p, qt), i32map(lambda qi, b: (b, 0, qi)), memory_space=pltpu.VMEM),
                 const_spec(wp_hi),
                 const_spec(wp_lo),
-                pl.BlockSpec((qt, p), lambda qi, b: (qi, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((qt, p), lambda qi, b: (qi, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((qt, p), i32map(lambda qi, b: (qi, 0)), memory_space=pltpu.VMEM),
+                pl.BlockSpec((qt, p), i32map(lambda qi, b: (qi, 0)), memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, qt, p), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, qt, p), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, qt, p), i32map(lambda qi, b: (b, qi, 0)), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, qt, p), i32map(lambda qi, b: (b, qi, 0)), memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((batch, q, p), jnp.float32),
@@ -297,8 +299,8 @@ def make_large_fft_fn(
             kernel_b,
             grid=(p // pt, batch),
             in_specs=[
-                pl.BlockSpec((1, q, pt), lambda pi, b: (b, 0, pi), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, q, pt), lambda pi, b: (b, 0, pi), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q, pt), i32map(lambda pi, b: (b, 0, pi)), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q, pt), i32map(lambda pi, b: (b, 0, pi)), memory_space=pltpu.VMEM),
                 const_spec(w1_hi),
                 const_spec(w1_lo),
                 const_spec(w2_hi),
@@ -307,8 +309,8 @@ def make_large_fft_fn(
                 const_spec(twi_i),
             ],
             out_specs=[
-                pl.BlockSpec((1, q, pt), lambda pi, b: (b, 0, pi), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, q, pt), lambda pi, b: (b, 0, pi), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q, pt), i32map(lambda pi, b: (b, 0, pi)), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q, pt), i32map(lambda pi, b: (b, 0, pi)), memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((batch, q, p), jnp.float32),

@@ -67,7 +67,11 @@ def main() -> int:
     import jax
 
     from rustfft_tpu import FftDirection, FftPlanner, executor
-    from rustfft_tpu.config import config
+    from rustfft_tpu.config import config, enable_persistent_compilation_cache
+
+    # each size is a fresh XLA compile (~20-40 s on the tunneled chip);
+    # persist executables so re-runs and bench.py reuse them
+    enable_persistent_compilation_cache()
 
     dev = jax.devices()[0]
     mode = executor._pallas_mode()
