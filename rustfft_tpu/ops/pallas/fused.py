@@ -616,3 +616,224 @@ def make_fused_three_stage_fn(
         return out_r.reshape(shape), out_i.reshape(shape)
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# Radix-r variant: n = r * p * q with the two dense DFT stages (p = q = 128)
+# on the MXU and the radix-r cross-stage as a recursive radix-2 chain on the
+# VPU.  The failed experiment this replaces put the small third factor on the
+# MXU (choose_pqq_fused above), where a K = q1 < 128 contraction wastes the
+# systolic array; butterflies over a *leading* axis are pure elementwise VPU
+# work (~10 log2(r) flops/point — noise next to the MXU stages), so this cuts
+# MXU flops 8(p'+q') -> 8(p+q) (e.g. 65536: 8*512 -> 8*256) with K = 128 kept
+# at full width and still ONE HBM read + write.
+# Reference counterpart: the layered radix-4 cross-FFT stages over a base FFT
+# (radix4.rs:146-164) — here the "base" is the MXU two-stage kernel.
+# ---------------------------------------------------------------------------
+
+
+def choose_rpq(n: int) -> Optional[Tuple[int, int, int]]:
+    """Split n = r * 128 * 128 with r a power of two in [2, 32]."""
+    if n % (128 * 128):
+        return None
+    r = n // (128 * 128)
+    if r < 2 or r > 32 or (r & (r - 1)):
+        return None
+    # VMEM: ~(24 + 3*log2(r)) live f32 single-array copies of the tile at
+    # tb = 1, plus the w_n twiddle table (8n bytes) and DFT blocks
+    copies = 24 + 3 * r.bit_length()
+    need = copies * 4 * n + 8 * n + 4 * (4 * 128 * 128 * 2)
+    if need > max(config.pallas_vmem_limit, 112 * 2**20):
+        return None
+    return r, 128, 128
+
+
+def radix_supported(n: int, dtype) -> bool:
+    if np.dtype(dtype) != np.complex64:
+        return False
+    return choose_rpq(n) is not None
+
+
+def _vpu_fft_list(vr, vi, direction):
+    """Recursive radix-2 DIT FFT over a Python list of equal-shape arrays.
+
+    Classic Cooley-Tukey on the *leading* grid of slices: every butterfly is
+    an elementwise VPU op over whole (sublane, lane) tiles; twiddles are
+    scalar f32 constants baked into the kernel body.  Natural order in,
+    natural order out.
+    """
+    r = len(vr)
+    if r == 1:
+        return vr, vi
+    er, ei = _vpu_fft_list(vr[0::2], vi[0::2], direction)
+    fr, fi = _vpu_fft_list(vr[1::2], vi[1::2], direction)
+    sign = -1.0 if direction == FftDirection.FORWARD else 1.0
+    out_r = [None] * r
+    out_i = [None] * r
+    h = r // 2
+    for c in range(h):
+        ang = sign * 2.0 * np.pi * c / r
+        wr = float(np.cos(ang))
+        wi = float(np.sin(ang))
+        tr = fr[c] * wr - fi[c] * wi
+        ti = fr[c] * wi + fi[c] * wr
+        out_r[c] = er[c] + tr
+        out_i[c] = ei[c] + ti
+        out_r[c + h] = er[c] - tr
+        out_i[c + h] = ei[c] - ti
+    return out_r, out_i
+
+
+def _fused_kernel_vpur(r, p, q, tb, precision, direction, xr_ref, xi_ref,
+                       wp_hi_ref, wp_lo_ref, wq_hi_ref, wq_lo_ref,
+                       t1r_ref, t1i_ref, t2r_ref, t2i_ref, or_ref, oi_ref):
+    """One batch tile: (tb*r*p, q) [j1, j2] -> (tb*q, r*p) [k2, k1] natural.
+
+    j1 = b*r + a (b in [0,p), a in [0,r)); k1 = c*p + d.  DFT_{rp} over j1
+    decomposes as DFT_p over b (MXU), twiddle w_{rp}^{a*d}, radix-r over a
+    (VPU); then the usual four-step twiddle w_n^{k1*j2} and DFT_q over j2.
+    """
+    m1 = r * p
+    xr = xr_ref[:].reshape(tb, p, r, q)  # [b, a, j2]
+    xi = xi_ref[:].reshape(tb, p, r, q)
+
+    # stage A: DFT_p over the b axis (MXU, K = 2p = 256)
+    xb = jnp.concatenate([xr, xi], axis=1)  # (tb, 2p, r, q)
+    a = contract_rhs(
+        xb, wp_hi_ref[:], wp_lo_ref[:], (((1,), (1,)), ((), ())), precision
+    )  # (tb, r, q, 2p) [a, j2, d]
+    sr, si = a[..., :p], a[..., p:]
+
+    # twiddle w_{rp}^{a*d}, table (r, p)
+    t1r = t1r_ref[:].reshape(1, r, 1, p)
+    t1i = t1i_ref[:].reshape(1, r, 1, p)
+    br = sr * t1r - si * t1i
+    bi = sr * t1i + si * t1r
+
+    # radix-r chain over the a axis (VPU): leading-axis slices
+    cr_l, ci_l = _vpu_fft_list(
+        [br[:, j] for j in range(r)], [bi[:, j] for j in range(r)], direction
+    )
+    cr = jnp.stack(cr_l, axis=1)  # (tb, r, q, p) [c, j2, d]
+    ci = jnp.stack(ci_l, axis=1)
+
+    # four-step twiddle w_n^(k1*j2), k1 = c*p + d; table (r, q, p) [c, j2, d]
+    t2r = t2r_ref[:].reshape(r, q, p)
+    t2i = t2i_ref[:].reshape(r, q, p)
+    dr = cr * t2r - ci * t2i
+    di = cr * t2i + ci * t2r
+
+    # stage B: DFT_q over j2 (MXU, K = 2q = 256)
+    db = jnp.concatenate([dr, di], axis=2)  # (tb, r, 2q, p)
+    e = contract_rhs(
+        db, wq_hi_ref[:], wq_lo_ref[:], (((2,), (1,)), ((), ())), precision
+    )  # (tb, r, p, 2q) [c, d, k2]
+    er, ei = e[..., :q], e[..., q:]
+
+    # natural order k = k2*m1 + c*p + d: per-c lane transposes, lane concat
+    outs_r = [jnp.swapaxes(er[:, c], -1, -2) for c in range(r)]  # (tb, q, p)
+    outs_i = [jnp.swapaxes(ei[:, c], -1, -2) for c in range(r)]
+    or_ref[:] = jnp.concatenate(outs_r, axis=-1).reshape(tb * q, m1)
+    oi_ref[:] = jnp.concatenate(outs_i, axis=-1).reshape(tb * q, m1)
+
+
+def make_fused_radix_fn(
+    n: int,
+    direction: FftDirection,
+    dtype,
+    split: Optional[Tuple[int, int, int]] = None,
+    interpret: bool = False,
+    precision=None,
+    batch_tile: Optional[int] = None,
+) -> Callable:
+    """Return fn: Cplx (..., n) -> Cplx (..., n), the radix-r fused kernel."""
+    assert np.dtype(dtype) == np.complex64, "fused kernel is c64/f32 only"
+    rpq = split or choose_rpq(n)
+    assert rpq is not None, f"no radix-r fused split for n={n}"
+    r, p, q = rpq
+    m1 = r * p
+    assert m1 * q == n
+    rdt = np.float32
+    if precision is None:
+        precision = config.pallas_precision
+    if interpret and precision == "bf16x3":
+        precision = jax.lax.Precision.HIGHEST
+
+    wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)
+    wq = calg.block_mid(twiddles.dft_matrix(q, direction), rdt)
+    if precision == "bf16x3":
+        wp_hi, wp_lo = _split_bf16(wp)
+        wq_hi, wq_lo = _split_bf16(wq)
+    else:
+        wp_hi, wp_lo = wp, np.zeros_like(wp, dtype=jnp.bfloat16)
+        wq_hi, wq_lo = wq, np.zeros_like(wq, dtype=jnp.bfloat16)
+    # t1[a, d] = w_{rp}^{a*d}; t2[c, j2, d] = w_n^{(c*p + d) * j2}.  t2 ships
+    # 2D as (r*q, p) so the in-kernel reshape splits the sublane axis only
+    # (lane-dim splits are illegal in VMEM).
+    t1 = twiddles.twiddle_table(r, p, direction)  # (r, p) [a, d]
+    t2 = twiddles.twiddle_table(m1, q, direction)  # (m1, q) [c*p + d, j2]
+    t2 = np.swapaxes(t2.reshape(r, p, q), 1, 2).reshape(r * q, p)
+    consts = [
+        wp_hi, wp_lo, wq_hi, wq_lo,
+        np.ascontiguousarray(t1.real).astype(rdt),
+        np.ascontiguousarray(t1.imag).astype(rdt),
+        np.ascontiguousarray(t2.real).astype(rdt),
+        np.ascontiguousarray(t2.imag).astype(rdt),
+    ]
+
+    def _tb(batch):
+        if batch_tile:
+            return batch_tile
+        copies = 24 + 3 * r.bit_length()
+        budget = max(config.pallas_vmem_limit, 112 * 2**20) - 12 * n
+        tb = max(1, budget // (copies * 4 * n))
+        tb = 1 << (tb.bit_length() - 1)
+        return max(1, min(tb, 128, batch))
+
+    def call(xr, xi, tb):
+        batch = xr.shape[0]
+        grid = batch // tb
+        kernel = functools.partial(
+            _fused_kernel_vpur, r, p, q, tb, precision, direction
+        )
+        in_bspec = pl.BlockSpec((tb * m1, q), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
+        out_bspec = pl.BlockSpec((tb * q, m1), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
+
+        def cspec(w):
+            return pl.BlockSpec(w.shape, i32map(lambda i: (0, 0)), memory_space=pltpu.VMEM)
+
+        out_r, out_i = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[in_bspec, in_bspec] + [cspec(w) for w in consts],
+            out_specs=[out_bspec, out_bspec],
+            out_shape=[jax.ShapeDtypeStruct((batch * q, m1), jnp.float32)] * 2,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=max(config.pallas_vmem_limit, 112 * 2**20)
+            ),
+            interpret=interpret,
+        )(
+            xr.reshape(batch * m1, q),
+            xi.reshape(batch * m1, q),
+            *[jnp.asarray(w) for w in consts],
+        )
+        return out_r.reshape(batch, n), out_i.reshape(batch, n)
+
+    def apply(x):
+        xr, xi = x
+        shape = xr.shape
+        flat_r = xr.reshape(-1, n)
+        flat_i = xi.reshape(-1, n)
+        batch = flat_r.shape[0]
+        tb = _tb(batch)
+        pad = (-batch) % tb
+        if pad:
+            flat_r = jnp.pad(flat_r, ((0, pad), (0, 0)))
+            flat_i = jnp.pad(flat_i, ((0, pad), (0, 0)))
+        out_r, out_i = call(flat_r, flat_i, tb)
+        if pad:
+            out_r = out_r[:batch]
+            out_i = out_i[:batch]
+        return out_r.reshape(shape), out_i.reshape(shape)
+
+    return apply

@@ -51,6 +51,10 @@ LANES = 128
 #: contraction K = 2r within a few MXU passes
 MAX_STAGE = 256
 
+#: scoped-VMEM request for this temp-heavy kernel (v5e has 128MB physical
+#: VMEM/core; 112MB verified compiling at n=7776, the largest supported size)
+_VMEM_REQUEST = 112 * 2**20
+
 
 def choose_radices(n: int) -> Optional[Tuple[int, ...]]:
     """Split n into 2..3 factors <= MAX_STAGE, big radix first.
@@ -112,13 +116,18 @@ def lanepack_supported(n: int, dtype) -> bool:
     radices = choose_radices(n)
     if radices is None:
         return False
-    # VMEM: ~10 live f32 copies of the (n, LANES) pair + DFT blocks/twiddles,
-    # against the same effective budget the kernel compiles with (the kernel
-    # requests headroom beyond the default budget; see make_lanepack_fn)
-    effective = max(config.pallas_vmem_limit, 100 * 2**20)
+    # VMEM: Mosaic's measured stack allocation is ~13 live f32 copies of the
+    # (n, LANES) pair (n=7776 compiled at 100.55MB = 12.6 pairs; the 10-pair
+    # estimate used before let it through a 100MB limit and OOMed the
+    # compile), plus DFT blocks/twiddles, against the same effective budget
+    # the kernel compiles with (see make_lanepack_fn)
+    effective = max(config.pallas_vmem_limit, _VMEM_REQUEST)
     consts = sum(4 * (2 * r) ** 2 for r in radices) + 8 * n * 4
-    tile = 10 * 2 * 4 * n * LANES
-    return consts + tile <= int(effective * 0.8)
+    # pad-to-VREG copies count against the stack too (n=8748 -> 8832 failed
+    # at 13 pairs of the unpadded width); budget 14 pairs of the padded width
+    n_pad = -(-n // LANES) * LANES
+    tile = 14 * 2 * 4 * n_pad * LANES
+    return consts + tile <= effective
 
 
 def _kernel(n, radices, g, precision, xr_ref, xi_ref, *refs):
@@ -218,9 +227,10 @@ def make_lanepack_fn(
     """
     assert np.dtype(dtype) == np.complex64, "lanepack kernel is c64/f32 only"
     if group is None:
-        # g=2 when the doubled IO tile still fits (measured +9% at 3888)
-        effective = max(config.pallas_vmem_limit, 100 * 2**20)
-        group = 2 if n >= 3000 and 20 * 2 * 4 * n * LANES <= effective else 1
+        # g=2 when the doubled working set still fits (measured +9% at 3888;
+        # ~26 live pairs at g=2 — double the calibrated g=1 footprint)
+        effective = max(config.pallas_vmem_limit, _VMEM_REQUEST)
+        group = 2 if n >= 3000 and 26 * 2 * 4 * n * LANES <= effective else 1
     radices = tuple(radices or choose_radices(n))
     assert int(np.prod(radices)) == n, (radices, n)
     k = len(radices)
@@ -271,7 +281,7 @@ def make_lanepack_fn(
             # kernel temp-heavy, so give it headroom beyond the default
             # budget (v5e has 128MB physical VMEM/core).
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=max(config.pallas_vmem_limit, 100 * 2**20)
+                vmem_limit_bytes=max(config.pallas_vmem_limit, _VMEM_REQUEST)
             ),
             interpret=interpret,
         )(xr, xi, *[jnp.asarray(w) for w in consts])

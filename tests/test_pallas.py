@@ -282,3 +282,28 @@ def test_lanepack_supported_rules():
     assert not lanepack.lanepack_supported(1009, np.complex64)  # prime
     assert not lanepack.lanepack_supported(3888, np.complex128)  # c64 only
     assert not lanepack.lanepack_supported(2, np.complex64)
+
+
+@pytest.mark.parametrize(
+    "direction", [FftDirection.FORWARD, FftDirection.INVERSE]
+)
+@pytest.mark.parametrize("n", [32768, 65536])
+def test_fused_radix_matches_oracle(n, direction):
+    """Radix-r fused kernel: MXU 128x128 stages + VPU radix chain (fused.py)."""
+    fn = fused.make_fused_radix_fn(
+        n, direction, np.complex64, interpret=True, batch_tile=1
+    )
+    sig = random_signal(2 * n, dtype=np.complex64, seed=11).reshape(2, n)
+    o_r, o_i = fn((sig.real, sig.imag))
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    err = mean_element_error(out, oracle_dft(sig, direction))
+    assert err < 1e-2, (n, direction, err)
+
+
+def test_fused_radix_supported_rules():
+    assert fused.choose_rpq(32768) == (2, 128, 128)
+    assert fused.choose_rpq(65536) == (4, 128, 128)
+    assert fused.choose_rpq(1 << 19) == (32, 128, 128)
+    assert fused.choose_rpq(16384) is None  # r == 1: two-stage territory
+    assert fused.choose_rpq(3 * 16384) is None  # r must be a power of two
+    assert fused.choose_rpq(1 << 21) is None  # r > 32

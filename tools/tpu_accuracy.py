@@ -144,9 +144,18 @@ def main() -> int:
             for n, mean_err, max_err in c128_rows:
                 f.write(f"- n={n}: mean {mean_err:.3e}, max {max_err:.3e}\n")
             f.write("\n")
+        table = rows
+        if len(rows) > 300:
+            # full-sweep mode: don't dump thousands of rows — record failures
+            # plus the worst-50 by relative error, and say so
+            worst_rows = sorted(rows, key=lambda r: -r[4])[:50]
+            fail_rows = [r for r in rows if r[2] >= args.tol]
+            table = sorted(set(fail_rows) | set(worst_rows))
+            f.write(f"(full sweep: table shows all failures plus the 50 "
+                    f"worst-relative-error rows of {len(rows)})\n\n")
         f.write("| n | dir | mean err | max err | rel mean err |\n")
         f.write("|---|---|---|---|---|\n")
-        for n, tag, mean_err, max_err, rel_err, _ in rows:
+        for n, tag, mean_err, max_err, rel_err, _ in table:
             f.write(f"| {n} | {tag} | {mean_err:.3e} | {max_err:.3e} | {rel_err:.3e} |\n")
     print(f"# wrote {args.out}: {len(rows)} checks, {len(fails)} failures",
           file=sys.stderr)
