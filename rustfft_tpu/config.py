@@ -59,10 +59,18 @@ class FftConfig:
     three_stage_min_n: int = 1 << 40
 
     #: Smallest transform routed to the two-kernel large pipeline even when
-    #: a single-kernel fused split exists (measured at 262144: large 621 vs
-    #: 2-stage 390 GF/s — the (512, 512) split's K=1024 contractions lose to
-    #: two passes with fatter tiles).
-    large_min_n: int = 262144
+    #: a single-kernel fused split exists.  Measured on v5e: the radix-r
+    #: fused kernel (use_radix_fused) wins to 262144 (746 vs large 609
+    #: GF/s); at 524288 the large pipeline wins (751 vs radix-r 528).
+    large_min_n: int = 524288
+
+    #: Route n = r*128*128 (r a power of two in [2, 16]) to the radix-r
+    #: fused kernel: both dense DFT stages as K=128 MXU contractions, the
+    #: radix-r cross-stage as a recursive radix-2 chain on the VPU — one
+    #: HBM pass with 2-4x fewer MXU flops than the two-stage split.
+    #: Measured on v5e: 852/946/792/746 GF/s at 32k/65k/131k/262k vs
+    #: 774/696/467/390 for the two-stage kernel (same run).
+    use_radix_fused: bool = True
 
     #: MXU precision inside Pallas kernels.  "bf16x3" = manual 3-pass bf16
     #: emulation (f32-grade accuracy at half the passes of HIGHEST, which

@@ -98,6 +98,11 @@ def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[
         if n <= config.lanepack_max_n or not aligned:
             return lanepack.make_lanepack_fn(n, direction, dtype, interpret=interpret)
 
+    # tier 2.5: radix-r fused (MXU 128x128 stages + VPU radix chain) owns
+    # the 32k..262k band (see config.use_radix_fused)
+    if config.use_radix_fused and fused.radix_supported(n, dtype):
+        return fused.make_fused_radix_fn(n, direction, dtype, interpret=interpret)
+
     # tier 4 outranks a feasible-but-slower single-kernel split at the top
     # of the fused range (see config.large_min_n)
     if n >= config.large_min_n and large.large_supported(n, dtype):
@@ -148,8 +153,8 @@ def build(
     key = (
         recipe, direction, dtype, mode, allow_fused,
         config.pallas_min_n, config.lanepack_max_n, config.three_stage_min_n,
-        config.large_min_n, config.pallas_precision, config.pallas_vmem_limit,
-        config.matmul_precision,
+        config.large_min_n, config.use_radix_fused, config.pallas_precision,
+        config.pallas_vmem_limit, config.matmul_precision,
     )
     fn = _CACHE.get(key)
     if fn is None:

@@ -633,11 +633,17 @@ def make_fused_three_stage_fn(
 
 
 def choose_rpq(n: int) -> Optional[Tuple[int, int, int]]:
-    """Split n = r * 128 * 128 with r a power of two in [2, 32]."""
+    """Split n = r * 128 * 128 with r a power of two in [2, 16].
+
+    Measured on v5e (same run): beats the 2-stage kernel by 10%/36%/70% at
+    r=2/4/8 and the large pipeline by 23% at r=16, but LOSES to the large
+    pipeline at r=32 (528 vs 751 GF/s at 524288: the 5-level VPU chain's
+    temporaries crowd VMEM down to tb=1) — hence the r <= 16 cap.
+    """
     if n % (128 * 128):
         return None
     r = n // (128 * 128)
-    if r < 2 or r > 32 or (r & (r - 1)):
+    if r < 2 or r > 16 or (r & (r - 1)):
         return None
     # VMEM: ~(24 + 3*log2(r)) live f32 single-array copies of the tile at
     # tb = 1, plus the w_n twiddle table (8n bytes) and DFT blocks
@@ -687,21 +693,28 @@ def _vpu_fft_list(vr, vi, direction):
 def _fused_kernel_vpur(r, p, q, tb, precision, direction, xr_ref, xi_ref,
                        wp_hi_ref, wp_lo_ref, wq_hi_ref, wq_lo_ref,
                        t1r_ref, t1i_ref, t2r_ref, t2i_ref, or_ref, oi_ref):
-    """One batch tile: (tb*r*p, q) [j1, j2] -> (tb*q, r*p) [k2, k1] natural.
+    """One batch tile: (tb*p, r*q) [b, a*q+j2] -> (tb*q, r*p) [k2, k1] natural.
 
     j1 = b*r + a (b in [0,p), a in [0,r)); k1 = c*p + d.  DFT_{rp} over j1
     decomposes as DFT_p over b (MXU), twiddle w_{rp}^{a*d}, radix-r over a
     (VPU); then the usual four-step twiddle w_n^{k1*j2} and DFT_q over j2.
+
+    The input block is the pure reshape (tb*p, r*q) of the natural (batch, n)
+    array (j = b*(r*q) + a*q + j2), so stage A is the two-stage kernel's
+    proven 3D sublane contraction with lanes r*q; a 4D layout with the
+    contraction on a leading axis measured ~13x slower per point (Mosaic
+    inserts per-tile transposes for non-sublane contractions).
     """
     m1 = r * p
-    xr = xr_ref[:].reshape(tb, p, r, q)  # [b, a, j2]
-    xi = xi_ref[:].reshape(tb, p, r, q)
+    xr = xr_ref[:].reshape(tb, p, r * q)  # [b, a*q + j2]
+    xi = xi_ref[:].reshape(tb, p, r * q)
 
-    # stage A: DFT_p over the b axis (MXU, K = 2p = 256)
-    xb = jnp.concatenate([xr, xi], axis=1)  # (tb, 2p, r, q)
+    # stage A: DFT_p over the sublane b axis (MXU, K = 2p = 256)
+    xb = jnp.concatenate([xr, xi], axis=1)  # (tb, 2p, r*q)
     a = contract_rhs(
         xb, wp_hi_ref[:], wp_lo_ref[:], (((1,), (1,)), ((), ())), precision
-    )  # (tb, r, q, 2p) [a, j2, d]
+    )  # (tb, r*q, 2p) [a*q + j2, d]
+    a = a.reshape(tb, r, q, 2 * p)  # sublane split: [a, j2, d]
     sr, si = a[..., :p], a[..., p:]
 
     # twiddle w_{rp}^{a*d}, table (r, p)
@@ -788,7 +801,9 @@ def make_fused_radix_fn(
         budget = max(config.pallas_vmem_limit, 112 * 2**20) - 12 * n
         tb = max(1, budget // (copies * 4 * n))
         tb = 1 << (tb.bit_length() - 1)
-        return max(1, min(tb, 128, batch))
+        # measured at 32768: tb=4 (931 GF/s) > tb=16 (883) > tb=8 (861);
+        # small tiles pipeline better here — cap well below the VMEM bound
+        return max(1, min(tb, 8, batch))
 
     def call(xr, xi, tb):
         batch = xr.shape[0]
@@ -796,7 +811,7 @@ def make_fused_radix_fn(
         kernel = functools.partial(
             _fused_kernel_vpur, r, p, q, tb, precision, direction
         )
-        in_bspec = pl.BlockSpec((tb * m1, q), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
+        in_bspec = pl.BlockSpec((tb * p, r * q), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
         out_bspec = pl.BlockSpec((tb * q, m1), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
 
         def cspec(w):
@@ -813,8 +828,8 @@ def make_fused_radix_fn(
             ),
             interpret=interpret,
         )(
-            xr.reshape(batch * m1, q),
-            xi.reshape(batch * m1, q),
+            xr.reshape(batch * p, r * q),
+            xi.reshape(batch * p, r * q),
             *[jnp.asarray(w) for w in consts],
         )
         return out_r.reshape(batch, n), out_i.reshape(batch, n)

@@ -303,7 +303,7 @@ def test_fused_radix_matches_oracle(n, direction):
 def test_fused_radix_supported_rules():
     assert fused.choose_rpq(32768) == (2, 128, 128)
     assert fused.choose_rpq(65536) == (4, 128, 128)
-    assert fused.choose_rpq(1 << 19) == (32, 128, 128)
+    assert fused.choose_rpq(1 << 18) == (16, 128, 128)
     assert fused.choose_rpq(16384) is None  # r == 1: two-stage territory
     assert fused.choose_rpq(3 * 16384) is None  # r must be a power of two
-    assert fused.choose_rpq(1 << 21) is None  # r > 32
+    assert fused.choose_rpq(1 << 19) is None  # r = 32: large pipeline wins
