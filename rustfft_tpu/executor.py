@@ -217,7 +217,7 @@ def _build(
         if mode != "off" and allow_fused:
             from .ops.pallas import conv
 
-            if conv.conv_supported(m, dtype):
+            if conv.conv_any_supported(m, dtype):
                 return conv.make_raders_fn(
                     recipe.length, direction, dtype,
                     interpret=(mode == "interpret"),
@@ -235,7 +235,7 @@ def _build(
         if mode != "off" and allow_fused:
             from .ops.pallas import conv
 
-            if conv.conv_supported(m, dtype):
+            if conv.conv_any_supported(m, dtype):
                 return conv.make_bluestein_fn(
                     recipe.length, m, direction, dtype,
                     interpret=(mode == "interpret"),

@@ -51,7 +51,7 @@ from .util import i32map
 
 
 def conv_supported(m: int, dtype) -> bool:
-    """The kernel needs an MXU-shaped split of m and c64 data."""
+    """The lane-aligned kernel needs an MXU-shaped split of m and c64 data."""
     if np.dtype(dtype) != np.complex64:
         return False
     split = _choose_pq(m)
@@ -61,6 +61,14 @@ def conv_supported(m: int, dtype) -> bool:
     # ~24 live f32 copies of the (tb>=1, p, q) tile + two table sets
     consts = 4 * (4 * p * p + 4 * q * q + 8 * p * q)
     return consts + 24 * 4 * m <= int(config.pallas_vmem_limit * 0.9)
+
+
+def conv_any_supported(m: int, dtype) -> bool:
+    """Some fused conv kernel applies: the lane-aligned one above, or the
+    lanepack (m-on-sublanes) one for lane-misaligned m (lanepack.py)."""
+    from . import lanepack
+
+    return conv_supported(m, dtype) or lanepack.lanepack_conv_supported(m, dtype)
 
 
 def _pick_batch_tile(batch: int, m: int, p: int, q: int) -> int:
@@ -261,6 +269,14 @@ def make_conv_fn(
     zero-padding for free).  n_in/n_out default to m.
     """
     assert np.dtype(dtype) == np.complex64
+    if not conv_supported(m, dtype):
+        # lane-misaligned m: the lanepack (m-on-sublanes) conv core
+        from . import lanepack
+
+        return lanepack.make_lanepack_conv_fn(
+            m, direction, dtype, h=h, pre=pre, post=post, conj_out=conj_out,
+            n_in=n_in, n_out=n_out, interpret=interpret, precision=precision,
+        )
     split = _choose_pq(m)
     assert split is not None, f"no conv split for m={m}"
     p, q = split

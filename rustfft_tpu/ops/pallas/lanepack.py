@@ -130,7 +130,71 @@ def lanepack_supported(n: int, dtype) -> bool:
     return consts + tile <= effective
 
 
-def _kernel(n, radices, g, precision, xr_ref, xi_ref, *refs):
+def _fft_sublane(vr, vi, n, radices, w_refs, tw_refs, precision, lanes):
+    """DIT FFT over the sublane axis of (n, lanes) arrays, natural order.
+
+    Stage s contracts the most significant remaining digit of j against the
+    K-halved block DFT matrix (w_refs holds wA_hi, wA_lo, wB_hi, wB_lo per
+    stage); tw_refs holds the inter-stage twiddle tables.  Invariant: data is
+    (lead, rest*..., lanes) with already-produced digits leading, most recent
+    first, so the final flat index is natural ascending frequency order.
+    """
+    k = len(radices)
+
+    def stage(s, vr, vi):
+        dims = (((1,), (1,)), ((), ()))
+        wA_hi, wA_lo, wB_hi, wB_lo = (w_refs[4 * s + t][:] for t in range(4))
+        return contract_wlhs(wA_hi, wA_lo, vr, dims, precision) + contract_wlhs(
+            wB_hi, wB_lo, vi, dims, precision
+        )
+
+    rest = n
+    vr = vr.reshape(1, n, lanes)
+    vi = vi.reshape(1, n, lanes)
+    for s, r in enumerate(radices):
+        rest //= r
+        lead = vr.shape[0]
+        vr = vr.reshape(lead, r, rest, lanes)
+        vi = vi.reshape(lead, r, rest, lanes)
+        a = stage(s, vr, vi)  # (2r, lead, rest, lanes) [k_s, lead, j', L]
+        ar, ai = a[:r], a[r:]
+        if s < k - 1:
+            twr = tw_refs[2 * s][:].reshape(r, 1, rest, 1)
+            twi = tw_refs[2 * s + 1][:].reshape(r, 1, rest, 1)
+            br = ar * twr - ai * twi
+            bi = ar * twi + ai * twr
+        else:
+            br, bi = ar, ai
+        vr = br.reshape(r * lead, rest, lanes)
+        vi = bi.reshape(r * lead, rest, lanes)
+    return vr.reshape(n, lanes), vi.reshape(n, lanes)
+
+
+def _stage_consts(n, radices, direction, precision):
+    """Constant tables for _fft_sublane: per-stage K-halved block DFT
+    matrices (4 arrays each) followed by the inter-stage twiddle tables."""
+    rdt = np.float32
+    consts = []
+    for r in radices:
+        w = calg.block_mid(twiddles.dft_matrix(r, direction), rdt)  # (2r, 2r)
+        # K-halves for the concat-free stages: wA against re, wB against im
+        for half in (w[:, :r], w[:, r:]):
+            half = np.ascontiguousarray(half)
+            if precision == "bf16x3":
+                consts.extend(_split_bf16(half))
+            else:
+                consts.extend((half, np.zeros_like(half, dtype=jnp.bfloat16)))
+    # inter-stage twiddles: after contracting r_s, twiddle w_{r_s*rest}^(k_s*j)
+    rest = n
+    for r in radices[:-1]:
+        rest //= r
+        tw = twiddles.twiddle_table(r, rest, direction)  # (r, rest) [k_s, j]
+        consts.append(np.ascontiguousarray(tw.real).astype(rdt))
+        consts.append(np.ascontiguousarray(tw.imag).astype(rdt))
+    return consts
+
+
+def _kernel(n, radices, g, precision, stack, xr_ref, xi_ref, *refs):
     """One group: (g*LANES, n) natural [b, j] -> same shape, FFT over j.
 
     Stages are concat-free: each contracts the [re | im] halves with the two
@@ -138,19 +202,17 @@ def _kernel(n, radices, g, precision, xr_ref, xi_ref, *refs):
     two whole-tile VMEM copies per stage — Mosaic stack-allocates every
     temporary in the block, so peak VMEM, not HBM traffic, is the binding
     constraint here.
+
+    stack=True processes all g groups as ONE g*LANES-wide lane axis: a single
+    transpose pair per block and one dot per stage with g*128 lanes of N,
+    instead of g separate transpose/dot chains.
     """
     k = len(radices)
     w_refs = refs[: 4 * k]  # per stage: wA_hi, wA_lo, wB_hi, wB_lo
     tw_refs = refs[4 * k : 4 * k + 2 * (k - 1)]
     or_ref, oi_ref = refs[-2:]
-
-    def stage(s, vr, vi):
-        """out[k_s, ...] = sum_j W[k_s, j] v[..., j at dim 1, ...]."""
-        dims = (((1,), (1,)), ((), ()))
-        wA_hi, wA_lo, wB_hi, wB_lo = (w_refs[4 * s + t][:] for t in range(4))
-        return contract_wlhs(wA_hi, wA_lo, vr, dims, precision) + contract_wlhs(
-            wB_hi, wB_lo, vi, dims, precision
-        )
+    lanes = g * LANES if stack else LANES
+    n_groups = 1 if stack else g
 
     # transposes of lane-misaligned widths (n % 128) lower to a slow Mosaic
     # path; pad the lane axis to the VREG boundary first, slice sublanes after
@@ -158,56 +220,28 @@ def _kernel(n, radices, g, precision, xr_ref, xi_ref, *refs):
 
     outs_r = []
     outs_i = []
-    for gi in range(g):
-        xr = xr_ref[gi * LANES : (gi + 1) * LANES, :]  # (L, n)
-        xi = xi_ref[gi * LANES : (gi + 1) * LANES, :]
+    for gi in range(n_groups):
+        xr = xr_ref[gi * lanes : (gi + 1) * lanes, :]  # (L, n)
+        xi = xi_ref[gi * lanes : (gi + 1) * lanes, :]
         if n_pad != n:
-            pad = jnp.zeros((LANES, n_pad - n), jnp.float32)
+            pad = jnp.zeros((lanes, n_pad - n), jnp.float32)
             xr = jnp.concatenate([xr, pad], axis=1)
             xi = jnp.concatenate([xi, pad], axis=1)
         # lane<->sublane transpose: n -> sublanes, batch -> lanes
         tr = jnp.swapaxes(xr, 0, 1)[:n, :]  # (n, L)
         ti = jnp.swapaxes(xi, 0, 1)[:n, :]
 
-        # DIT over j = j1*(r2*r3..) + j2*(r3..) + ...: stage s contracts r_s
-        # (the most significant remaining digit of j).  Invariant: data is
-        # (lead, rest*..., L) where lead holds the already-produced k digits,
-        # most recent leading; flattening (k_s, lead) each stage yields the
-        # final flat index k = k_last*(r_{last-1}..r_1) + .. + k_2*r_1 + k_1,
-        # which is exactly natural ascending frequency order.
-        rest = n
-        vr = tr.reshape(1, n, LANES)
-        vi = ti.reshape(1, n, LANES)
-        for s, r in enumerate(radices):
-            rest //= r
-            lead = vr.shape[0]
-            vr = vr.reshape(lead, r, rest, LANES)
-            vi = vi.reshape(lead, r, rest, LANES)
-            a = stage(s, vr, vi)  # (2r, lead, rest, L) [k_s, lead, j', L]
-            ar, ai = a[:r], a[r:]
-            if s < k - 1:
-                # twiddle w_{r*rest}^(k_s * j') over the remaining digits,
-                # broadcast over lead and lanes
-                twr = tw_refs[2 * s][:].reshape(r, 1, rest, 1)
-                twi = tw_refs[2 * s + 1][:].reshape(r, 1, rest, 1)
-                br = ar * twr - ai * twi
-                bi = ar * twi + ai * twr
-            else:
-                br, bi = ar, ai
-            vr = br.reshape(r * lead, rest, LANES)
-            vi = bi.reshape(r * lead, rest, LANES)
-        vr = vr.reshape(n, LANES)
-        vi = vi.reshape(n, LANES)
+        vr, vi = _fft_sublane(tr, ti, n, radices, w_refs, tw_refs, precision, lanes)
         if n_pad != n:
-            pad = jnp.zeros((n_pad - n, LANES), jnp.float32)
+            pad = jnp.zeros((n_pad - n, lanes), jnp.float32)
             vr = jnp.concatenate([vr, pad], axis=0)
             vi = jnp.concatenate([vi, pad], axis=0)
         outr = jnp.swapaxes(vr, 0, 1)[:, :n]  # (L, n)
         outi = jnp.swapaxes(vi, 0, 1)[:, :n]
         outs_r.append(outr)
         outs_i.append(outi)
-    or_ref[:] = jnp.concatenate(outs_r, axis=0) if g > 1 else outs_r[0]
-    oi_ref[:] = jnp.concatenate(outs_i, axis=0) if g > 1 else outs_i[0]
+    or_ref[:] = jnp.concatenate(outs_r, axis=0) if n_groups > 1 else outs_r[0]
+    oi_ref[:] = jnp.concatenate(outs_i, axis=0) if n_groups > 1 else outs_i[0]
 
 
 def make_lanepack_fn(
@@ -218,12 +252,16 @@ def make_lanepack_fn(
     interpret: bool = False,
     precision=None,
     group: Optional[int] = None,
+    stack: bool = False,
 ) -> Callable:
     """Return fn: Cplx (..., n) -> Cplx (..., n), batch-in-lanes kernel.
 
     `group` = how many 128-transform groups one grid step processes;
     default 2 for n >= 3000 (measured +9% at 3888: fewer grid steps amortize
     the per-step transpose/dot latency), else 1.
+
+    `stack=True` fuses the g groups into one g*128-wide lane axis (one
+    transpose pair and one dot per stage for the whole block).
     """
     assert np.dtype(dtype) == np.complex64, "lanepack kernel is c64/f32 only"
     if group is None:
@@ -242,29 +280,13 @@ def make_lanepack_fn(
         precision = jax.lax.Precision.HIGHEST
     rdt = np.float32
 
-    consts = []
-    for r in radices:
-        w = calg.block_mid(twiddles.dft_matrix(r, direction), rdt)  # (2r, 2r)
-        # K-halves for the concat-free stages: wA against re, wB against im
-        for half in (w[:, :r], w[:, r:]):
-            half = np.ascontiguousarray(half)
-            if precision == "bf16x3":
-                consts.extend(_split_bf16(half))
-            else:
-                consts.extend((half, np.zeros_like(half, dtype=jnp.bfloat16)))
-    # inter-stage twiddles: after contracting r_s, twiddle w_{r_s*rest}^(k_s*j)
-    rest = n
-    for r in radices[:-1]:
-        rest //= r
-        tw = twiddles.twiddle_table(r, rest, direction)  # (r, rest) [k_s, j]
-        consts.append(np.ascontiguousarray(tw.real).astype(rdt))
-        consts.append(np.ascontiguousarray(tw.imag).astype(rdt))
+    consts = _stage_consts(n, radices, direction, precision)
 
     def call(xr, xi, g):
         batch = xr.shape[0]
         rows = g * LANES
         grid = batch // rows
-        kernel = functools.partial(_kernel, n, radices, g, precision)
+        kernel = functools.partial(_kernel, n, radices, g, precision, stack)
         bspec = pl.BlockSpec((rows, n), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
 
         def cspec(w):
@@ -303,5 +325,204 @@ def make_lanepack_fn(
             out_r = out_r[:batch]
             out_i = out_i[:batch]
         return out_r.reshape(shape), out_i.reshape(shape)
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# Lanepack conv kernel: the Bluestein/Rader double-FFT convolution core
+# (ops/pallas/conv.py docstring) with the inner length m on the SUBLANE axis.
+# Lifts conv.py's lane-alignment constraint (m needs a q % 128 == 0 split):
+# any m that choose_radices() can factor qualifies, so Rader can run its
+# natural inner size m = p - 1 (e.g. 1008 for p = 1009) instead of padding to
+# a Bluestein inner of ~2n — half the convolution points.
+# Reference counterpart: RadersAlgorithm/BluesteinsAlgorithm inner FFTs of
+# arbitrary composite sizes (raders_algorithm.rs:41-330).
+# ---------------------------------------------------------------------------
+
+
+def lanepack_conv_supported(m: int, dtype) -> bool:
+    if np.dtype(dtype) != np.complex64:
+        return False
+    if m < 4:
+        return False
+    radices = choose_radices(m)
+    if radices is None:
+        return False
+    # two sequential sublane FFTs: ~2x the single-FFT live-pair calibration
+    # (lanepack_supported), plus the H/pre/post column tables
+    effective = max(config.pallas_vmem_limit, _VMEM_REQUEST)
+    consts = sum(4 * (2 * r) ** 2 for r in radices) + 8 * m * 4 + 3 * 8 * m
+    m_pad = -(-m // LANES) * LANES
+    tile = 28 * 2 * 4 * m_pad * LANES
+    return consts + tile <= effective
+
+
+def _conv_kernel(m, n_in, n_out, radices, g, precision, conj_out, has_pre,
+                 has_post, xr_ref, xi_ref, *refs):
+    """(g*L, n_in) [b, j] -> (g*L, n_out): pre, FFT_m, conj(.*H), FFT_m,
+    maybe-conj, post — all with m on the sublane axis (one transpose pair)."""
+    k = len(radices)
+    w_refs = refs[: 4 * k]
+    tw_refs = refs[4 * k : 4 * k + 2 * (k - 1)]
+    hr_ref, hi_ref, prer_ref, prei_ref, postr_ref, posti_ref = refs[
+        4 * k + 2 * (k - 1) : 4 * k + 2 * (k - 1) + 6
+    ]
+    or_ref, oi_ref = refs[-2:]
+    lanes = g * LANES
+
+    m_pad = -(-m // LANES) * LANES
+    xr = xr_ref[:]  # (lanes, n_in)
+    xi = xi_ref[:]
+    # lane pad to m_pad: columns n_in..m are the conv zero-padding, m..m_pad
+    # transpose scratch (sliced off below)
+    if m_pad != n_in:
+        pad = jnp.zeros((lanes, m_pad - n_in), jnp.float32)
+        xr = jnp.concatenate([xr, pad], axis=1)
+        xi = jnp.concatenate([xi, pad], axis=1)
+    tr = jnp.swapaxes(xr, 0, 1)[:m, :]  # (m, lanes)
+    ti = jnp.swapaxes(xi, 0, 1)[:m, :]
+
+    if has_pre:
+        pr = prer_ref[:]  # (m, 1), zero beyond n_in
+        pi = prei_ref[:]
+        vr = tr * pr - ti * pi
+        vi = tr * pi + ti * pr
+    else:
+        vr, vi = tr, ti
+
+    yr, yi = _fft_sublane(vr, vi, m, radices, w_refs, tw_refs, precision, lanes)
+
+    # pointwise z = conj(Y * H), H natural-order column (m, 1)
+    hr = hr_ref[:]
+    hi = hi_ref[:]
+    zr = yr * hr - yi * hi
+    zi = -(yr * hi + yi * hr)
+
+    er, ei = _fft_sublane(zr, zi, m, radices, w_refs, tw_refs, precision, lanes)
+    if conj_out:
+        ei = -ei
+
+    er = er[:n_out, :]
+    ei = ei[:n_out, :]
+    if has_post:
+        postr = postr_ref[:]  # (n_out, 1)
+        posti = posti_ref[:]
+        outr = er * postr - ei * posti
+        outi = er * posti + ei * postr
+    else:
+        outr, outi = er, ei
+    no_pad = -(-n_out // LANES) * LANES
+    if no_pad != n_out:
+        pad = jnp.zeros((no_pad - n_out, lanes), jnp.float32)
+        outr = jnp.concatenate([outr, pad], axis=0)
+        outi = jnp.concatenate([outi, pad], axis=0)
+    or_ref[:] = jnp.swapaxes(outr, 0, 1)[:, :n_out]
+    oi_ref[:] = jnp.swapaxes(outi, 0, 1)[:, :n_out]
+
+
+def make_lanepack_conv_fn(
+    m: int,
+    direction: FftDirection,
+    dtype,
+    h: np.ndarray,
+    pre: Optional[np.ndarray] = None,
+    post: Optional[np.ndarray] = None,
+    conj_out: bool = False,
+    n_in: Optional[int] = None,
+    n_out: Optional[int] = None,
+    interpret: bool = False,
+    precision=None,
+    group: Optional[int] = None,
+) -> Callable:
+    """Build fn: Cplx (..., n_in) -> Cplx (..., n_out) computing
+
+        out = [post *] maybe_conj( FFT_m( conj( FFT_m([pre *] zeropad(x)) * H ) ) )
+
+    with the same contract as conv.make_conv_fn, but m on the sublane axis —
+    m needs only a choose_radices() factorization, no lane alignment.
+    """
+    assert np.dtype(dtype) == np.complex64, "lanepack conv kernel is c64 only"
+    radices = choose_radices(m)
+    assert radices is not None, f"no lanepack radices for m={m}"
+    n_in = n_in or m
+    n_out = n_out or m
+    if precision is None:
+        precision = config.pallas_precision
+    if interpret and precision == "bf16x3":
+        precision = jax.lax.Precision.HIGHEST
+    rdt = np.float32
+
+    if group is None:
+        effective = max(config.pallas_vmem_limit, _VMEM_REQUEST)
+        m_pad = -(-m // LANES) * LANES
+        group = 2 if 2 * 28 * 2 * 4 * m_pad * LANES <= effective else 1
+
+    # the in-kernel lane pad supplies the conv zero-padding, so (unlike
+    # conv.py) a pre table is only needed when a chirp actually multiplies
+    # the live prefix
+    has_pre = pre is not None
+    pre_full = np.zeros(m if has_pre else 1, dtype=np.complex128)
+    if pre is not None:
+        pre_full[: len(pre)] = pre
+    has_post = post is not None
+    post_full = np.zeros(n_out if has_post else 1, dtype=np.complex128)
+    if post is not None:
+        post_full[: min(len(post), n_out)] = post[:n_out]
+
+    consts = _stage_consts(m, radices, direction, precision)
+    col = lambda a: np.ascontiguousarray(a).astype(rdt).reshape(-1, 1)
+    consts.extend((
+        col(np.asarray(h).real), col(np.asarray(h).imag),
+        col(pre_full.real), col(pre_full.imag),
+        col(post_full.real), col(post_full.imag),
+    ))
+
+    def call(xr, xi, g):
+        batch = xr.shape[0]
+        rows = g * LANES
+        grid = batch // rows
+        kernel = functools.partial(
+            _conv_kernel, m, n_in, n_out, radices, g, precision, conj_out,
+            has_pre, has_post,
+        )
+        in_bspec = pl.BlockSpec((rows, n_in), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
+        out_bspec = pl.BlockSpec((rows, n_out), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
+
+        def cspec(w):
+            return pl.BlockSpec(w.shape, i32map(lambda i: (0, 0)), memory_space=pltpu.VMEM)
+
+        out_r, out_i = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[in_bspec, in_bspec] + [cspec(w) for w in consts],
+            out_specs=[out_bspec, out_bspec],
+            out_shape=[jax.ShapeDtypeStruct((batch, n_out), jnp.float32)] * 2,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=max(config.pallas_vmem_limit, _VMEM_REQUEST)
+            ),
+            interpret=interpret,
+        )(xr, xi, *[jnp.asarray(w) for w in consts])
+        return out_r, out_i
+
+    def apply(x):
+        xr, xi = x
+        shape = xr.shape
+        flat_r = xr.reshape(-1, shape[-1])
+        flat_i = xi.reshape(-1, shape[-1])
+        batch = flat_r.shape[0]
+        rows = group * LANES
+        pad = (-batch) % rows
+        if pad:
+            flat_r = jnp.pad(flat_r, ((0, pad), (0, 0)))
+            flat_i = jnp.pad(flat_i, ((0, pad), (0, 0)))
+        out_r, out_i = call(flat_r, flat_i, group)
+        if pad:
+            out_r = out_r[:batch]
+            out_i = out_i[:batch]
+        return (
+            out_r.reshape(shape[:-1] + (n_out,)),
+            out_i.reshape(shape[:-1] + (n_out,)),
+        )
 
     return apply
