@@ -141,22 +141,37 @@ def _fft_sublane(vr, vi, n, radices, w_refs, tw_refs, precision, lanes):
     """
     k = len(radices)
 
-    def stage(s, vr, vi):
-        dims = (((1,), (1,)), ((), ()))
+    def stage(s, vr, vi, cdim):
+        dims = (((1,), (cdim,)), ((), ()))
         wA_hi, wA_lo, wB_hi, wB_lo = (w_refs[4 * s + t][:] for t in range(4))
         return contract_wlhs(wA_hi, wA_lo, vr, dims, precision) + contract_wlhs(
             wB_hi, wB_lo, vi, dims, precision
         )
 
-    rest = n
-    vr = vr.reshape(1, n, lanes)
-    vi = vi.reshape(1, n, lanes)
-    for s, r in enumerate(radices):
-        rest //= r
+    # Stage 1 runs on a 3D (r, rest, lanes) view contracting dim 0 — the
+    # rank-4 (1, r, rest, lanes) form used previously makes Mosaic assign a
+    # "layout with implicit dimension" to dot-chain inputs and the compile
+    # fails when two FFTs chain inside one kernel (the conv core).  The two
+    # forms are the same memory layout; only the rank differs.
+    rest = n // radices[0]
+    r0 = radices[0]
+    a = stage(0, vr.reshape(r0, rest, lanes), vi.reshape(r0, rest, lanes), 0)
+    ar, ai = a[:r0], a[r0:]  # (r0, rest, lanes) [k_1, j', L]
+    if k > 1:
+        twr = tw_refs[0][:].reshape(r0, rest, 1)
+        twi = tw_refs[1][:].reshape(r0, rest, 1)
+        vr = ar * twr - ai * twi
+        vi = ar * twi + ai * twr
+    else:
+        vr, vi = ar, ai
+
+    for s in range(1, k):
+        r = radices[s]
         lead = vr.shape[0]
+        rest //= r
         vr = vr.reshape(lead, r, rest, lanes)
         vi = vi.reshape(lead, r, rest, lanes)
-        a = stage(s, vr, vi)  # (2r, lead, rest, lanes) [k_s, lead, j', L]
+        a = stage(s, vr, vi, 1)  # (2r, lead, rest, lanes) [k_s, lead, j', L]
         ar, ai = a[:r], a[r:]
         if s < k - 1:
             twr = tw_refs[2 * s][:].reshape(r, 1, rest, 1)
@@ -371,6 +386,13 @@ def _conv_kernel(m, n_in, n_out, radices, g, precision, conj_out, has_pre,
     or_ref, oi_ref = refs[-2:]
     lanes = g * LANES
 
+    def tab(ref, rows):
+        # column tables ship lane-replicated, 8-row-padded (see col() in the
+        # factory); slice the live rows and widen to the group's lane count
+        # by concat (lane-axis concat is legal in VMEM)
+        t = ref[:][:rows]
+        return jnp.concatenate([t] * g, axis=1) if g > 1 else t
+
     m_pad = -(-m // LANES) * LANES
     xr = xr_ref[:]  # (lanes, n_in)
     xi = xi_ref[:]
@@ -384,8 +406,8 @@ def _conv_kernel(m, n_in, n_out, radices, g, precision, conj_out, has_pre,
     ti = jnp.swapaxes(xi, 0, 1)[:m, :]
 
     if has_pre:
-        pr = prer_ref[:]  # (m, 1), zero beyond n_in
-        pi = prei_ref[:]
+        pr = tab(prer_ref, m)  # (m, lanes), zero beyond n_in
+        pi = tab(prei_ref, m)
         vr = tr * pr - ti * pi
         vi = tr * pi + ti * pr
     else:
@@ -393,9 +415,9 @@ def _conv_kernel(m, n_in, n_out, radices, g, precision, conj_out, has_pre,
 
     yr, yi = _fft_sublane(vr, vi, m, radices, w_refs, tw_refs, precision, lanes)
 
-    # pointwise z = conj(Y * H), H natural-order column (m, 1)
-    hr = hr_ref[:]
-    hi = hi_ref[:]
+    # pointwise z = conj(Y * H), H natural-order lane-replicated (m, lanes)
+    hr = tab(hr_ref, m)
+    hi = tab(hi_ref, m)
     zr = yr * hr - yi * hi
     zi = -(yr * hi + yi * hr)
 
@@ -406,8 +428,8 @@ def _conv_kernel(m, n_in, n_out, radices, g, precision, conj_out, has_pre,
     er = er[:n_out, :]
     ei = ei[:n_out, :]
     if has_post:
-        postr = postr_ref[:]  # (n_out, 1)
-        posti = posti_ref[:]
+        postr = tab(postr_ref, n_out)  # (n_out, lanes)
+        posti = tab(posti_ref, n_out)
         outr = er * postr - ei * posti
         outi = er * posti + ei * postr
     else:
@@ -471,7 +493,16 @@ def make_lanepack_conv_fn(
         post_full[: min(len(post), n_out)] = post[:n_out]
 
     consts = _stage_consts(m, radices, direction, precision)
-    col = lambda a: np.ascontiguousarray(a).astype(rdt).reshape(-1, 1)
+
+    # lane-replicated column tables: (m', 1) blocks fail Mosaic ("Layout
+    # with implicit dimension"), as do blocks with < 8 sublane rows (the
+    # dummy tables) — ship (8-padded m', LANES) and slice in-kernel
+    def col(a):
+        v = np.asarray(a, np.float64).reshape(-1)
+        rows = max(8, -(-len(v) // 8) * 8)
+        out = np.zeros((rows, LANES), rdt)
+        out[: len(v), :] = v[:, None]
+        return out
     consts.extend((
         col(np.asarray(h).real), col(np.asarray(h).imag),
         col(pre_full.real), col(pre_full.imag),

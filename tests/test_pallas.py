@@ -307,3 +307,42 @@ def test_fused_radix_supported_rules():
     assert fused.choose_rpq(16384) is None  # r == 1: two-stage territory
     assert fused.choose_rpq(3 * 16384) is None  # r must be a power of two
     assert fused.choose_rpq(1 << 19) is None  # r = 32: large pipeline wins
+
+
+@pytest.mark.parametrize("n,m", [(600, 1296), (1009, 2187)])
+@pytest.mark.parametrize(
+    "direction", [FftDirection.FORWARD, FftDirection.INVERSE]
+)
+def test_bluestein_lanepack_conv_kernel(n, m, direction):
+    """Lane-misaligned inner sizes route to the lanepack conv core
+    (ops/pallas/lanepack.py make_lanepack_conv_fn)."""
+    from rustfft_tpu.ops.pallas import conv, lanepack
+
+    assert not conv.conv_supported(m, np.complex64)
+    assert lanepack.lanepack_conv_supported(m, np.complex64)
+    fn = conv.make_bluestein_fn(n, m, direction, np.complex64, interpret=True)
+    sig = random_signal(3 * n, dtype=np.complex64, seed=n).reshape(3, n)
+    o_r, o_i = fn((sig.real, sig.imag))
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    err = mean_element_error(out, oracle_dft(sig, direction))
+    assert err < 1e-2, (n, m, direction, err)
+
+
+@pytest.mark.parametrize("p", [1009, 617])
+@pytest.mark.parametrize(
+    "direction", [FftDirection.FORWARD, FftDirection.INVERSE]
+)
+def test_raders_lanepack_conv_kernel(p, direction):
+    """Rader's natural inner m = p-1 (lane-misaligned) via the lanepack
+    conv core — the route the aligned conv kernel cannot serve."""
+    from rustfft_tpu.ops.pallas import conv, lanepack
+
+    m = p - 1
+    assert not conv.conv_supported(m, np.complex64)
+    assert lanepack.lanepack_conv_supported(m, np.complex64)
+    fn = conv.make_raders_fn(p, direction, np.complex64, interpret=True)
+    sig = random_signal(3 * p, dtype=np.complex64, seed=p).reshape(3, p)
+    o_r, o_i = fn((sig.real, sig.imag))
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    err = mean_element_error(out, oracle_dft(sig, direction))
+    assert err < 1e-2, (p, direction, err)
