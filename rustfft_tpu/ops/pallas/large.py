@@ -70,6 +70,37 @@ def _kernel_a(p, qt, precision, xr_ref, xi_ref, wp_hi_ref, wp_lo_ref,
     oi_ref[:] = ar * twi + ai * twr
 
 
+def _kernel_a_deep(p, qt, radices, precision, xr_ref, xi_ref, *refs):
+    """Column stage, multi-stage form: DFT_P as 2-3 sublane stages.
+
+    The dense form above runs 24*P bf16-flops/point — at P >= 256 that is
+    compute-bound (the 2-pass memory bound is ~0.06 ns/pt, 24*512 flops is
+    ~0.16 ns/pt).  Decomposing DFT_P over the sublane axis with the lanepack
+    stage machinery (ops/pallas/lanepack.py _fft_sublane — sublane reshapes
+    are Mosaic-legal, so the digit ordering works out to natural k1) cuts
+    the flops to 24*(r1+..+rk) at the price of ONE in-VMEM lane transpose
+    per block ((P, qt) -> (qt, P), the [k1, j2] -> [j2, k1] relayout the
+    dense form gets free from its dot output order).
+    """
+    from .lanepack import _fft_sublane
+
+    k = len(radices)
+    w_refs = refs[: 4 * k]
+    tw_refs = refs[4 * k : 4 * k + 2 * (k - 1)]
+    twr_ref, twi_ref = refs[-4:-2]  # outer twiddle, (P, Q) [k1, j2] blocks
+    or_ref, oi_ref = refs[-2:]
+
+    xr = xr_ref[:].reshape(p, qt)
+    xi = xi_ref[:].reshape(p, qt)
+    yr, yi = _fft_sublane(xr, xi, p, radices, w_refs, tw_refs, precision, qt)
+    twr = twr_ref[:]  # (P, qt) [k1, j2]
+    twi = twi_ref[:]
+    zr = yr * twr - yi * twi
+    zi = yr * twi + yi * twr
+    or_ref[:] = jnp.swapaxes(zr, 0, 1)[None]  # (1, qt, P) [j2, k1]
+    oi_ref[:] = jnp.swapaxes(zi, 0, 1)[None]
+
+
 def _kernel_b(q1, q2, pt, precision, variant, xr_ref, xi_ref, w1_hi_ref,
               w1_lo_ref, w2_hi_ref, w2_lo_ref, twr_ref, twi_ref,
               or_ref, oi_ref):
@@ -202,8 +233,14 @@ def make_large_fft_fn(
     qt: int = 512,
     pt: int = 128,
     variant: str = "swap",
+    deep_a: Optional[bool] = None,
 ) -> Callable:
-    """Return fn: Cplx (..., n) -> Cplx (..., n), the two-kernel pipeline."""
+    """Return fn: Cplx (..., n) -> Cplx (..., n), the two-kernel pipeline.
+
+    deep_a: use the multi-stage kernel A (_kernel_a_deep) instead of the
+    dense 24*P-flop contraction; None = auto (on when P >= 256, where the
+    dense form is compute-bound — see _kernel_a_deep docstring).
+    """
     assert np.dtype(dtype) == np.complex64, "large kernel is c64/f32 only"
     pqq = split or choose_pqq(n)
     assert pqq is not None, f"no large split for n={n}"
@@ -229,10 +266,25 @@ def make_large_fft_fn(
         pt_eff //= 2
     pt = pt_eff
 
+    from . import lanepack
+
+    if deep_a is None:
+        # measured on v5e: deep LOSES decisively (2^20: 459 vs 858 GF/s
+        # dense) — the per-block (P, qt) lane transpose costs far more than
+        # the 24*P -> 24*(r1+r2) MXU flop cut saves.  Lane transposes are
+        # the dominant in-VMEM cost at these shapes (same story as the
+        # lanepack stack experiment); keep the dense dot, whose output
+        # order provides the [j2, k1] relayout for free.
+        deep_a = False
+    a_radices = tuple(lanepack.choose_radices(p) or ()) if deep_a else ()
+
     # kernel A constants
     wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)  # (2P, 2P)
-    # outer twiddle table, stored transposed (Q, P) = [j2, k1]
-    tw_outer = twiddles.twiddle_table(p, q, direction).T
+    # outer twiddle table: dense form consumes (Q, P) = [j2, k1] blocks,
+    # the deep form consumes (P, Q) = [k1, j2] blocks
+    tw_outer = twiddles.twiddle_table(p, q, direction)  # (P, Q) [k1, j2]
+    if not deep_a:
+        tw_outer = tw_outer.T
     twr_o = np.ascontiguousarray(tw_outer.real).astype(rdt)
     twi_o = np.ascontiguousarray(tw_outer.imag).astype(rdt)
 
@@ -253,9 +305,20 @@ def make_large_fft_fn(
         w1_hi, w1_lo = w1, zeros(w1)
         w2_hi, w2_lo = w2, zeros(w2)
 
-    kernel_a = functools.partial(_kernel_a, p, qt, precision)
+    if deep_a:
+        kernel_a = functools.partial(_kernel_a_deep, p, qt, a_radices, precision)
+        a_consts = lanepack._stage_consts(p, a_radices, direction, precision)
+    else:
+        kernel_a = functools.partial(_kernel_a, p, qt, precision)
+        a_consts = [wp_hi, wp_lo]
     kernel_b = functools.partial(_kernel_b, q1, q2, pt, precision, variant)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=config.pallas_vmem_limit)
+    # the deep kernel A is temp-heavy (sublane stages + transpose)
+    cparams_a = pltpu.CompilerParams(
+        vmem_limit_bytes=max(config.pallas_vmem_limit, 112 * 2**20)
+        if deep_a
+        else config.pallas_vmem_limit
+    )
 
     def const_spec(w, ndim=2):
         return pl.BlockSpec(w.shape, i32map(lambda *_: (0,) * ndim), memory_space=pltpu.VMEM)
@@ -264,17 +327,20 @@ def make_large_fft_fn(
         batch = xr.shape[0]
 
         # ---- kernel A: (B, P, Q) -> (B, Q, P), twiddled ----
+        if deep_a:
+            # deep form consumes the outer twiddle as (P, Q) [k1, j2] blocks
+            tw_spec = pl.BlockSpec((p, qt), i32map(lambda qi, b: (0, qi)), memory_space=pltpu.VMEM)
+        else:
+            tw_spec = pl.BlockSpec((qt, p), i32map(lambda qi, b: (qi, 0)), memory_space=pltpu.VMEM)
         a_r, a_i = pl.pallas_call(
             kernel_a,
             grid=(q // qt, batch),  # batch fastest: twiddle block stays put
             in_specs=[
                 pl.BlockSpec((1, p, qt), i32map(lambda qi, b: (b, 0, qi)), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, p, qt), i32map(lambda qi, b: (b, 0, qi)), memory_space=pltpu.VMEM),
-                const_spec(wp_hi),
-                const_spec(wp_lo),
-                pl.BlockSpec((qt, p), i32map(lambda qi, b: (qi, 0)), memory_space=pltpu.VMEM),
-                pl.BlockSpec((qt, p), i32map(lambda qi, b: (qi, 0)), memory_space=pltpu.VMEM),
-            ],
+            ]
+            + [const_spec(w) for w in a_consts]
+            + [tw_spec, tw_spec],
             out_specs=[
                 pl.BlockSpec((1, qt, p), i32map(lambda qi, b: (b, qi, 0)), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, qt, p), i32map(lambda qi, b: (b, qi, 0)), memory_space=pltpu.VMEM),
@@ -283,13 +349,12 @@ def make_large_fft_fn(
                 jax.ShapeDtypeStruct((batch, q, p), jnp.float32),
                 jax.ShapeDtypeStruct((batch, q, p), jnp.float32),
             ],
-            compiler_params=cparams,
+            compiler_params=cparams_a,
             interpret=interpret,
         )(
             xr.reshape(batch, p, q),
             xi.reshape(batch, p, q),
-            jnp.asarray(wp_hi),
-            jnp.asarray(wp_lo),
+            *[jnp.asarray(w) for w in a_consts],
             jnp.asarray(twr_o),
             jnp.asarray(twi_o),
         )

@@ -346,3 +346,20 @@ def test_raders_lanepack_conv_kernel(p, direction):
     out = np.asarray(o_r) + 1j * np.asarray(o_i)
     err = mean_element_error(out, oracle_dft(sig, direction))
     assert err < 1e-2, (p, direction, err)
+
+
+def test_large_pipeline_deep_kernel_a():
+    """The multi-stage kernel A variant (deep_a) stays correct — kept as a
+    perf-harness option; measured slower than the dense form on v5e
+    (large.py make_large_fft_fn docstring)."""
+    from rustfft_tpu.ops.pallas import large
+
+    n = 32768
+    sig = random_signal(2 * n, dtype=np.complex64, seed=7).reshape(2, n)
+    fn = large.make_large_fft_fn(
+        n, FftDirection.FORWARD, np.complex64, interpret=True, deep_a=True
+    )
+    o_r, o_i = fn((sig.real, sig.imag))
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    err = mean_element_error(out, oracle_dft(sig, FftDirection.FORWARD))
+    assert err < 1e-2, err

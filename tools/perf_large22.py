@@ -31,6 +31,14 @@ def main():
         1 << 21: [None, (128, 128, 128), (256, 128, 64), (256, 128, 128)],
         1 << 22: [None, (256, 128, 128), (256, 64, 256), (128, 128, 256)],
     }
+    if len(sys.argv) > 1:  # e.g. "22" or "22:1" (size : variant index)
+        sel = {}
+        for a in sys.argv[1:]:
+            bits, _, idx = a.partition(":")
+            n = 1 << int(bits)
+            sel.setdefault(n, [])
+            sel[n] = [cases[n][int(i)] for i in idx.split(",")] if idx else cases[n]
+        cases = sel
     for n, splits in cases.items():
         batch = (1 << 27) // n
         re = jax.device_put((rng.standard_normal((batch, n)) * 1e-30).astype(np.float32))
