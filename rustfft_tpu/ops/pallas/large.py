@@ -1,10 +1,11 @@
-"""Large-N FFT as two Pallas kernels: 2 HBM passes for n up to ~2^25.
+"""Large-N FFT as two Pallas kernels: 2 HBM passes for n up to 2^22.
 
-Size bound: choose_pqq needs n = P * q1 * q2 with P <= 512 and q1, q2 <= 256
-(hard max 2^25 = 512*256*256); kernel B's (Q, pt) working set must fit the
-VMEM budget, so pt auto-shrinks from 128 down to 8 as Q grows (beyond
-Q = 16k the lane tiles thin out and per-step efficiency drops — sizes past
-~2^23 run, but the sweet spot is the 2^17..2^23 band).
+Size bound: choose_pqq needs n = P * q1 * q2 with P <= 512, q1, q2 <= 256,
+and kernel B's (Q, 128) working set inside the VMEM budget — measured on
+v5e, Q = 16384 fails the Mosaic compile even at a 112MB request, so Q caps
+at 8192 and the hard ceiling is 512 * 8192 = 2^22.  (Thinner kernel-B lane
+tiles are NOT a fallback either: Mosaic rejects pt < 128 blocks — see
+max_lane_tile.)  Sizes beyond 2^22 fall back to the XLA six-step path.
 
 For n = P*Q beyond what a single VMEM-resident kernel can hold
 (ops/pallas/fused.py), the Cooley-Tukey split (ops/ct.py derivation, the
@@ -160,12 +161,20 @@ def _kernel_b(q1, q2, pt, precision, variant, xr_ref, xi_ref, w1_hi_ref,
 
 
 def max_lane_tile(q: int) -> Optional[int]:
-    """Largest kernel-B lane tile pt (128 down to 8) whose (Q, pt) working
-    set (~8 live f32 copies) fits the VMEM budget; None if even pt=8 won't."""
+    """Kernel-B lane tile: 128 if the (Q, 128) working set (~8 live f32
+    copies) fits the VMEM budget, else None.
+
+    Mosaic requires block minor dims to be (8, 128)-aligned unless equal to
+    the array dims — measured on v5e, a pt = 64 kernel-B block fails to
+    lower ("last two dimensions of your block..."), and Q = 16384 at
+    pt = 128 fails the compile even under a 112MB request, so neither
+    thinner tiles nor a bigger budget extend the range: Q beyond the
+    default budget means no large pipeline (the size falls back to the
+    XLA six-step path).
+    """
     budget = int(config.pallas_vmem_limit * 0.85)
-    for pt in (128, 64, 32, 16, 8):
-        if 8 * q * pt * 4 <= budget:
-            return pt
+    if 8 * q * 128 * 4 <= budget:
+        return 128
     return None
 
 
@@ -192,18 +201,14 @@ def choose_pqq(n: int) -> Optional[Tuple[int, int, int]]:
         if inner is None:
             continue
         _, q1, q2 = inner
-        # kernel-B block: (Q, pt) f32 pair x ~8 live copies; pt shrinks for
-        # large Q, but thin lane tiles cost per-step efficiency — prefer
-        # splits that keep pt at 128
+        # kernel-B feasibility: the (Q, 128) working set must fit VMEM
         q = q1 * q2
-        pt = max_lane_tile(q)
-        if pt is None:
+        if max_lane_tile(q) is None:
             continue
         # measured on v5e (2^20 sweep): the largest P up to 256 wins (smaller
         # kernel-B tiles dominate; beyond 256 kernel A goes compute-bound),
         # with balanced q1 == q2 preferred within that
         key = (
-            -pt,
             0 if p <= 256 else 1,
             -p if p <= 256 else p,
             q1 + q2,

@@ -174,12 +174,20 @@ def test_executor_routes_through_fused(monkeypatch):
 
 def test_large_pipeline_above_2pow20():
     """Sizes above 2^20 (reference benches pow2 to 2^24,
-    bench_rustfft.rs:43-105): the pipeline's lane tile auto-shrinks to keep
-    kernel B's (Q, pt) working set within VMEM (large.max_lane_tile)."""
+    bench_rustfft.rs:43-105): the pipeline holds to its honest ceiling
+    n = 2^22 (kernel-B needs full-width 128 lane tiles and Q <= 8192 —
+    both measured Mosaic limits, large.max_lane_tile); larger sizes fall
+    back to the XLA six-step path via the planner."""
+    from rustfft_tpu import FftPlanner
     from rustfft_tpu.ops.pallas import large
 
-    for n in (1 << 21, 1 << 22, 1 << 23, 1 << 24):
+    for n in (1 << 21, 1 << 22):
         assert large.large_supported(n, np.complex64), n
+    for n in (1 << 23, 1 << 24):
+        assert not large.large_supported(n, np.complex64), n
+    # the XLA fallback still plans 2^23+ (recipe design only; executing
+    # 8M+ points is out of CI budget)
+    assert FftPlanner().plan_fft_forward(1 << 23) is not None
 
     n = 1 << 21
     fn = large.make_large_fft_fn(n, FftDirection.FORWARD, np.complex64, interpret=True)
