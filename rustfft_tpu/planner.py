@@ -383,6 +383,12 @@ class FftPlannerTpu(_PlannerBase):
             if m < 2 * min_inner:
                 candidates.add(m)
             p3 *= 3
+        # NEGATIVE result (measured on v5e): the tightest multiple of 128
+        # >= 2n-1 is also conv-feasible and has fewer points, but LOSES to
+        # the nearest 2^a*3^b candidate — n=1234: m=2560 (20x128 split) ran
+        # 102 vs m=3072 (24x128) 107 GF/s; n=7919: m=15872 (124x128) 189 vs
+        # m=16384 (128x128, both stages full-width K=256) 211.  MXU-shaped
+        # splits beat raw point count; keep the 2^a*3^b family.
         for m in sorted(candidates):
             if conv.conv_supported(m, self.dtype):
                 return m
