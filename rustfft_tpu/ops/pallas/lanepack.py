@@ -356,6 +356,20 @@ def make_lanepack_fn(
 # ---------------------------------------------------------------------------
 
 
+def _conv_working_set(m: int, radices, g: int = 1) -> int:
+    """VMEM bytes for the conv kernel: two sequential sublane FFTs (~2x the
+    single-FFT live-pair calibration of lanepack_supported), the stage
+    tables, and the six lane-replicated (8-padded m, LANES) column tables
+    (H/pre/post re+im — ~3 KB/row, NOT 3 floats; concatenated again
+    in-kernel when g > 1)."""
+    m_pad = -(-m // LANES) * LANES
+    stage_consts = sum(4 * (2 * r) ** 2 for r in radices) + 8 * m * 4
+    col_rows = -(-m // 8) * 8
+    col_tables = 6 * 4 * col_rows * LANES * (1 + (g > 1))
+    tile = 28 * 2 * 4 * m_pad * LANES * g
+    return stage_consts + col_tables + tile
+
+
 def lanepack_conv_supported(m: int, dtype) -> bool:
     if np.dtype(dtype) != np.complex64:
         return False
@@ -364,13 +378,13 @@ def lanepack_conv_supported(m: int, dtype) -> bool:
     radices = choose_radices(m)
     if radices is None:
         return False
-    # two sequential sublane FFTs: ~2x the single-FFT live-pair calibration
-    # (lanepack_supported), plus the H/pre/post column tables
+    # DFT blocks are (2r, 2r): r < 4 ships blocks with < 8 sublane rows,
+    # the same sub-VREG class the col() padding exists to avoid — gate it
+    # (e.g. m = p-1 = 40 -> (2, 20)); such sizes keep the XLA inner path
+    if min(radices) < 4:
+        return False
     effective = max(config.pallas_vmem_limit, _VMEM_REQUEST)
-    consts = sum(4 * (2 * r) ** 2 for r in radices) + 8 * m * 4 + 3 * 8 * m
-    m_pad = -(-m // LANES) * LANES
-    tile = 28 * 2 * 4 * m_pad * LANES
-    return consts + tile <= effective
+    return _conv_working_set(m, radices) <= effective
 
 
 def _conv_kernel(m, n_in, n_out, radices, g, precision, conj_out, has_pre,
@@ -477,8 +491,7 @@ def make_lanepack_conv_fn(
 
     if group is None:
         effective = max(config.pallas_vmem_limit, _VMEM_REQUEST)
-        m_pad = -(-m // LANES) * LANES
-        group = 2 if 2 * 28 * 2 * 4 * m_pad * LANES <= effective else 1
+        group = 2 if _conv_working_set(m, radices, g=2) <= effective else 1
 
     # the in-kernel lane pad supplies the conv zero-padding, so (unlike
     # conv.py) a pre table is only needed when a chirp actually multiplies

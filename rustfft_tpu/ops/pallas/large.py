@@ -160,6 +160,18 @@ def _kernel_b(q1, q2, pt, precision, variant, xr_ref, xi_ref, w1_hi_ref,
     oi_ref[:] = di.reshape(1, q1 * q2, pt)
 
 
+def _lane_tile(dim: int, cap: int) -> int:
+    """Largest 128-multiple tile <= cap dividing `dim`, else `dim` itself
+    (legal via Mosaic's equal-to-array-dim exception — the whole axis as
+    one tile)."""
+    t = min(cap, dim)
+    while t >= 128:
+        if dim % t == 0 and t % 128 == 0:
+            return t
+        t //= 2
+    return dim
+
+
 def max_lane_tile(q: int) -> Optional[int]:
     """Kernel-B lane tile: 128 if the (Q, 128) working set (~8 live f32
     copies) fits the VMEM budget, else None.
@@ -205,6 +217,12 @@ def choose_pqq(n: int) -> Optional[Tuple[int, int, int]]:
         q = q1 * q2
         if max_lane_tile(q) is None:
             continue
+        # both lane-tiled axes need 128-multiple tiles: whole-dim blocks
+        # for odd factors (the _lane_tile fallback) FAIL the Mosaic compile
+        # on v5e (verified at n = 3^11, split (243, 27, 27)) — such sizes
+        # take the XLA six-step path instead
+        if p % 128 or q % 128:
+            continue
         # measured on v5e (2^20 sweep): the largest P up to 256 wins (smaller
         # kernel-B tiles dominate; beyond 256 kernel A goes compute-bound),
         # with balanced q1 == q2 preferred within that
@@ -243,8 +261,9 @@ def make_large_fft_fn(
     """Return fn: Cplx (..., n) -> Cplx (..., n), the two-kernel pipeline.
 
     deep_a: use the multi-stage kernel A (_kernel_a_deep) instead of the
-    dense 24*P-flop contraction; None = auto (on when P >= 256, where the
-    dense form is compute-bound — see _kernel_a_deep docstring).
+    dense 24*P-flop contraction; None resolves to False (measured slower
+    on v5e — see the in-code note) — the option exists for the perf
+    harness and future hardware.
     """
     assert np.dtype(dtype) == np.complex64, "large kernel is c64/f32 only"
     pqq = split or choose_pqq(n)
@@ -261,15 +280,15 @@ def make_large_fft_fn(
         precision = jax.lax.Precision.HIGHEST
     rdt = np.float32
 
-    qt = min(qt, q)
-    while q % qt:
-        qt //= 2
+    # Lane-tile rule (Mosaic): a block's lane dim must be a multiple of 128
+    # OR equal to the array dim.  For odd factors (e.g. q = 3^6) no pow2
+    # tile divides, so fall back to the whole dimension as one tile — the
+    # equal-to-array-dim exception keeps it legal (choose_pqq checked the
+    # whole-dim working set fits VMEM for such splits).
+    qt = _lane_tile(q, qt)
     lane_cap = max_lane_tile(q)
     assert lane_cap is not None, f"kernel-B tile for Q={q} exceeds VMEM"
-    pt_eff = min(pt, p, lane_cap)
-    while p % pt_eff:
-        pt_eff //= 2
-    pt = pt_eff
+    pt = _lane_tile(p, min(pt, lane_cap))
 
     from . import lanepack
 
@@ -281,7 +300,12 @@ def make_large_fft_fn(
         # lanepack stack experiment); keep the dense dot, whose output
         # order provides the [j2, k1] relayout for free.
         deep_a = False
-    a_radices = tuple(lanepack.choose_radices(p) or ()) if deep_a else ()
+    if deep_a:
+        a_radices = lanepack.choose_radices(p)
+        assert a_radices is not None, f"no sublane radices for deep_a P={p}"
+        a_radices = tuple(a_radices)
+    else:
+        a_radices = ()
 
     # kernel A constants
     wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)  # (2P, 2P)

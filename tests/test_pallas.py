@@ -371,3 +371,17 @@ def test_large_pipeline_deep_kernel_a():
     out = np.asarray(o_r) + 1j * np.asarray(o_i)
     err = mean_element_error(out, oracle_dft(sig, FftDirection.FORWARD))
     assert err < 1e-2, err
+
+
+def test_large_pipeline_rejects_odd_tile_splits():
+    """Odd factors would need whole-dim lane tiles, which fail the Mosaic
+    compile (verified on v5e at n = 3^11): choose_pqq must only emit splits
+    with p % 128 == 0 and q % 128 == 0, sending such sizes to the XLA path."""
+    from rustfft_tpu.ops.pallas import large
+
+    assert large.choose_pqq(3**11) is None
+    assert not large.large_supported(3**11, np.complex64)
+    for n in (1 << 20, 786432, 655360):  # incl. 3*2^18 and 5*2^17
+        split = large.choose_pqq(n)
+        p, q1, q2 = split
+        assert p % 128 == 0 and (q1 * q2) % 128 == 0, (n, split)
