@@ -84,9 +84,10 @@ def _pick_batch_tile(batch: int, m: int, p: int, q: int) -> int:
 
 
 def _kernel(p, q, tb, p_in, p_out, precision, conj_out, has_pre, has_post,
-            xr_ref, xi_ref, wp_hi_ref, wp_lo_ref, wq_hi_ref, wq_lo_ref,
-            t1r_ref, t1i_ref, t2r_ref, t2i_ref, hr_ref, hi_ref, prer_ref,
-            prei_ref, postr_ref, posti_ref, or_ref, oi_ref):
+            xr_ref, xi_ref, wp_hi_ref, wp_lo_ref, wpo_hi_ref, wpo_lo_ref,
+            wq_hi_ref, wq_lo_ref, t1r_ref, t1i_ref, t2r_ref, t2i_ref,
+            hr_ref, hi_ref, prer_ref, prei_ref, postr_ref, posti_ref,
+            or_ref, oi_ref):
     """(tb*p_in, q) [j1, j2] -> (tb*p_out, q) [k2'', k1''] flat natural order.
 
     Only the first p_in row-groups carry input (the rest of the length-m
@@ -116,14 +117,12 @@ def _kernel(p, q, tb, p_in, p_out, precision, conj_out, has_pre, has_post,
         vi = xr * pi + xi * pr
     else:
         vr, vi = xr, xi
-    if p_in < p:
-        # the zero-padded tail of the length-m buffer, never read from HBM
-        zeros = jnp.zeros((tb, p - p_in, q), jnp.float32)
-        vr = jnp.concatenate([vr, zeros], axis=1)
-        vi = jnp.concatenate([vi, zeros], axis=1)
 
     # ---- FFT #1, stage A: DFT_p over sublane j1 ----
-    xb = jnp.concatenate([vr, vi], axis=1)  # (tb, 2p, q)
+    # wpA arrives column-sliced to the LIVE rows (2p, 2p_in): the zero tail
+    # of the length-m buffer (j1 >= p_in) contributes nothing, so it is
+    # neither synthesized nor contracted — K = 2*p_in instead of 2p.
+    xb = jnp.concatenate([vr, vi], axis=1)  # (tb, 2p_in, q)
     a = dot3(xb, wp_hi_ref[:], wp_lo_ref[:], sub)  # (tb, q, 2p) [j2, k1]
     ar, ai = a[:, :, :p], a[:, :, p:]
     t1r = t1r_ref[:]  # (q, p) [j2, k1]
@@ -155,14 +154,13 @@ def _kernel(p, q, tb, p_in, p_out, precision, conj_out, has_pre, has_post,
     dr_ = cr * t2r - ci * t2i
     di_ = cr * t2i + ci * t2r
 
-    # stage B': DFT_p over sublane j2', weights-as-lhs -> leading k2''
+    # stage B': DFT_p over sublane j2', weights-as-lhs -> leading k2''.
+    # wpo arrives row-sliced to the WANTED outputs (2p_out, 2p): frequencies
+    # k2'' >= p_out are sliced off post-kernel anyway, so M = 2*p_out.
     db = jnp.concatenate([dr_, di_], axis=1)  # (tb, 2p, q)
-    e = dot3_wlhs(wp_hi_ref[:], wp_lo_ref[:], db, sub)  # (2p, tb, q) [k2'', b, k1'']
-    e = jnp.transpose(e, (1, 0, 2))  # (tb, 2p, q) — lane-preserving permute
-    er, ei = e[:, :p, :], e[:, p:, :]  # (tb, p, q) [k2'', k1''] = flat natural
-
-    er = er[:, :p_out, :]
-    ei = ei[:, :p_out, :]
+    e = dot3_wlhs(wpo_hi_ref[:], wpo_lo_ref[:], db, sub)  # (2p_out, tb, q)
+    e = jnp.transpose(e, (1, 0, 2))  # (tb, 2p_out, q) — lane-preserving
+    er, ei = e[:, :p_out, :], e[:, p_out:, :]  # [k2'', k1''] = flat natural
     if conj_out:
         ei = -ei
     if has_post:
@@ -318,18 +316,27 @@ def make_conv_fn(
 
     wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)
     wq = calg.block_mid(twiddles.dft_matrix(q, direction), rdt)
+    # stage A contracts only the live input row-groups (K = 2*p_in), and
+    # stage B' emits only the wanted output row-groups (M = 2*p_out) — the
+    # dead rows/cols of the block DFT matrix are sliced off host-side
+    live = list(range(p_in)) + list(range(p, p + p_in))
+    want = list(range(p_out)) + list(range(p, p + p_out))
+    wpa = np.ascontiguousarray(wp[:, live])  # (2p, 2p_in)
+    wpo = np.ascontiguousarray(wp[want, :])  # (2p_out, 2p)
     t1 = twiddles.twiddle_table(p, q, direction).T  # (q, p) [j2, k1]
     t2 = twiddles.twiddle_table(q, p, direction).T  # (p, q) [j2', k1'']
 
     if precision == "bf16x3":
-        wp_hi, wp_lo = _split_bf16(wp)
+        wp_hi, wp_lo = _split_bf16(wpa)
+        wpo_hi, wpo_lo = _split_bf16(wpo)
         wq_hi, wq_lo = _split_bf16(wq)
     else:
-        wp_hi, wp_lo = wp, np.zeros_like(wp, dtype=jnp.bfloat16)
+        wp_hi, wp_lo = wpa, np.zeros_like(wpa, dtype=jnp.bfloat16)
+        wpo_hi, wpo_lo = wpo, np.zeros_like(wpo, dtype=jnp.bfloat16)
         wq_hi, wq_lo = wq, np.zeros_like(wq, dtype=jnp.bfloat16)
 
     consts = [
-        wp_hi, wp_lo, wq_hi, wq_lo,
+        wp_hi, wp_lo, wpo_hi, wpo_lo, wq_hi, wq_lo,
         np.ascontiguousarray(t1.real).astype(rdt),
         np.ascontiguousarray(t1.imag).astype(rdt),
         np.ascontiguousarray(t2.real).astype(rdt),
