@@ -90,9 +90,11 @@ def _kernel(p, q, tb, p_in, p_out, precision, conj_out, has_pre, has_post,
             or_ref, oi_ref):
     """(tb*p_in, q) [j1, j2] -> (tb*p_out, q) [k2'', k1''] flat natural order.
 
-    Only the first p_in row-groups carry input (the rest of the length-m
-    buffer is zero — synthesized in VMEM instead of streamed from HBM), and
-    only the first p_out row-groups of the result are written back.
+    Only the first p_in row-groups carry input — the zero tail of the
+    length-m buffer is never streamed, synthesized, or contracted (stage A's
+    DFT matrix is column-sliced to the live rows) — and only the first p_out
+    row-groups of the result are computed and written back (stage B' is
+    row-sliced likewise).
     """
 
     def dot3(x, w_hi, w_lo, dims):
@@ -290,8 +292,8 @@ def make_conv_fn(
     rdt = np.float32
 
     # only ceil(n/q) row-groups of the length-m buffer carry real input /
-    # wanted output; the rest is zero-synthesized in VMEM and never written,
-    # trimming the HBM pad/slice traffic around the kernel
+    # wanted output; the dead rows are never streamed, computed, or written
+    # (the kernel's boundary-stage DFT matrices are sliced to match)
     p_in = -(-n_in // q)
     p_out = -(-n_out // q)
 

@@ -365,7 +365,7 @@ def _conv_working_set(m: int, radices, g: int = 1) -> int:
     m_pad = -(-m // LANES) * LANES
     stage_consts = sum(4 * (2 * r) ** 2 for r in radices) + 8 * m * 4
     col_rows = -(-m // 8) * 8
-    col_tables = 6 * 4 * col_rows * LANES * (1 + (g > 1))
+    col_tables = 6 * 4 * col_rows * LANES * g  # replicated to g*LANES wide
     tile = 28 * 2 * 4 * m_pad * LANES * g
     return stage_consts + col_tables + tile
 
@@ -401,11 +401,9 @@ def _conv_kernel(m, n_in, n_out, radices, g, precision, conj_out, has_pre,
     lanes = g * LANES
 
     def tab(ref, rows):
-        # column tables ship lane-replicated, 8-row-padded (see col() in the
-        # factory); slice the live rows and widen to the group's lane count
-        # by concat (lane-axis concat is legal in VMEM)
-        t = ref[:][:rows]
-        return jnp.concatenate([t] * g, axis=1) if g > 1 else t
+        # column tables ship lane-replicated to the group's full lane width
+        # and 8-row-padded (see col() in the factory); slice the live rows
+        return ref[:][:rows]
 
     m_pad = -(-m // LANES) * LANES
     xr = xr_ref[:]  # (lanes, n_in)
@@ -509,11 +507,13 @@ def make_lanepack_conv_fn(
 
     # lane-replicated column tables: (m', 1) blocks fail Mosaic ("Layout
     # with implicit dimension"), as do blocks with < 8 sublane rows (the
-    # dummy tables) — ship (8-padded m', LANES) and slice in-kernel
+    # dummy tables) — ship (8-padded m', group*LANES) and slice rows
+    # in-kernel (replicating to the full lane width host-side saves the
+    # per-grid-step widening concat the kernel would otherwise pay)
     def col(a):
         v = np.asarray(a, np.float64).reshape(-1)
         rows = max(8, -(-len(v) // 8) * 8)
-        out = np.zeros((rows, LANES), rdt)
+        out = np.zeros((rows, group * LANES), rdt)
         out[: len(v), :] = v[:, None]
         return out
     consts.extend((
