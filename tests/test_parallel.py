@@ -96,3 +96,27 @@ def test_distributed_roundtrip(devices8):
     x = random_signal(2 * n, seed=9).reshape(2, n)
     out = _join(inv(fwd(_pair(x)))) / n
     assert mean_element_error(out, x) < 1e-4
+
+
+def test_distributed_fft_replicated_batch(devices8):
+    """batch_axis=None replicates the batch; only the fft axis is sharded."""
+    mesh = make_mesh((1, 4), ("data", "fft"), devices8[:4])
+    n = 256
+    fn = make_distributed_fft(
+        n, FftDirection.FORWARD, np.complex64, mesh, batch_axis=None
+    )
+    x = random_signal(3 * n, seed=11).reshape(3, n)
+    out = _join(fn(_pair(x)))
+    assert mean_element_error(out, oracle_dft(x, FftDirection.FORWARD)) < 1e-3
+
+
+def test_distributed_fft_c128(devices8):
+    """The sharded six-step carries f64 pairs for c128 plans (twiddles and
+    shard-local FFTs at double precision; conftest enables x64)."""
+    mesh = make_mesh((2, 4), ("data", "fft"), devices8)
+    n = 512
+    fn = make_distributed_fft(n, FftDirection.FORWARD, np.complex128, mesh)
+    x = random_signal(2 * n, dtype=np.complex128, seed=12).reshape(2, n)
+    out = _join(fn(_pair(x)))
+    err = mean_element_error(out, oracle_dft(x, FftDirection.FORWARD))
+    assert err < 1e-8, err
