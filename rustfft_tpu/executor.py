@@ -67,23 +67,29 @@ def _pallas_mode() -> str:
     return "tpu" if on_tpu else "off"
 
 
-def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[Callable]:
-    """Fused whole-transform Pallas kernel when the routing rules allow it.
+def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
+    """Name the whole-transform Pallas tier serving length n, or None (the
+    recipe tree / XLA path).
 
     Tiers (all thresholds measured on v5e, see config):
-      1. lanepack (batch-in-lanes, ops/pallas/lanepack.py): the small-n band
-         and every lane-misaligned composite (2^a*3^b etc.) its VMEM bound
-         admits — sublane stages need no 128-alignment.
-      2. two-stage fused (ops/pallas/fused.py): mid sizes with q % 128 == 0.
-      3. three-stage fused: the 16k..262k band — same single HBM pass, ~3x
-         fewer MXU flops.
-      4. large two-kernel pipeline (ops/pallas/large.py): beyond VMEM.
+      'lanepack'    batch-in-lanes (ops/pallas/lanepack.py): the small-n band
+                    and every lane-misaligned composite (2^a*3^b etc.) its
+                    VMEM bound admits — sublane stages need no 128-alignment.
+      'radix'       radix-r fused (MXU 128x128 stages + VPU radix chain):
+                    the 32k..262k band.
+      'large'       two-kernel pipeline (ops/pallas/large.py): beyond VMEM.
+      'three_stage' / 'two_stage'  single-pass fused kernels (fused.py) for
+                    lane-aligned mid sizes.
+
+    The single source of truth for _maybe_fused's dispatch — also consumed
+    by tools/inspect_plan.py and the routing tests.
     """
+    if mode is None:
+        mode = _pallas_mode()
     if mode == "off":
         return None
     from .ops.pallas import fused, lanepack, large
 
-    interpret = mode == "interpret"
     if mode == "tpu" and n < config.pallas_min_n:
         return None
 
@@ -96,30 +102,45 @@ def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[
     # the lane-aligned kernels would waste most of each MXU/DMA row)
     if lanepack.lanepack_supported(n, dtype):
         if n <= config.lanepack_max_n or not aligned:
-            return lanepack.make_lanepack_fn(n, direction, dtype, interpret=interpret)
+            return "lanepack"
 
-    # tier 2.5: radix-r fused (MXU 128x128 stages + VPU radix chain) owns
-    # the 32k..262k band (see config.use_radix_fused)
+    # tier 2.5: radix-r fused owns the 32k..262k band
     if config.use_radix_fused and fused.radix_supported(n, dtype):
-        return fused.make_fused_radix_fn(n, direction, dtype, interpret=interpret)
+        return "radix"
 
     # tier 4 outranks a feasible-but-slower single-kernel split at the top
     # of the fused range (see config.large_min_n)
     if n >= config.large_min_n and large.large_supported(n, dtype):
-        return large.make_large_fft_fn(n, direction, dtype, interpret=interpret)
+        return "large"
 
     if aligned:
         if n >= config.three_stage_min_n and fused.three_stage_supported(n, dtype):
-            return fused.make_fused_three_stage_fn(
-                n, direction, dtype, interpret=interpret
-            )
-        return fused.make_fused_two_stage_fn(n, direction, dtype, interpret=interpret)
+            return "three_stage"
+        return "two_stage"
     if fused.fused_supported(n, dtype) and mode != "tpu":
         # interpret mode keeps exercising the plain fused kernel off-TPU
-        return fused.make_fused_two_stage_fn(n, direction, dtype, interpret=interpret)
+        return "two_stage"
     if large.large_supported(n, dtype):
-        return large.make_large_fft_fn(n, direction, dtype, interpret=interpret)
+        return "large"
     return None
+
+
+def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[Callable]:
+    """Build the fused whole-transform kernel pallas_route names, if any."""
+    route = pallas_route(n, dtype, mode)
+    if route is None:
+        return None
+    from .ops.pallas import fused, lanepack, large
+
+    interpret = mode == "interpret"
+    builder = {
+        "lanepack": lanepack.make_lanepack_fn,
+        "radix": fused.make_fused_radix_fn,
+        "large": large.make_large_fft_fn,
+        "three_stage": fused.make_fused_three_stage_fn,
+        "two_stage": fused.make_fused_two_stage_fn,
+    }[route]
+    return builder(n, direction, dtype, interpret=interpret)
 
 
 def _is_matrix_leaf(recipe: recipes.Recipe) -> bool:

@@ -385,3 +385,23 @@ def test_large_pipeline_rejects_odd_tile_splits():
         split = large.choose_pqq(n)
         p, q1, q2 = split
         assert p % 128 == 0 and (q1 * q2) % 128 == 0, (n, split)
+
+
+def test_pallas_route_table():
+    """Pin the measured routing tiers (executor.pallas_route is the single
+    source of truth for _maybe_fused's dispatch; bands per CLAUDE.md)."""
+    from rustfft_tpu import executor
+
+    expect = {
+        512: "lanepack", 1024: "lanepack", 2048: "lanepack",
+        3888: "lanepack", 7776: "lanepack", 537: "lanepack",
+        4096: "two_stage", 16384: "two_stage",
+        32768: "radix", 65536: "radix", 131072: "radix", 262144: "radix",
+        524288: "large", 1 << 20: "large", 1 << 22: "large",
+        1 << 23: None,  # beyond the measured Mosaic ceiling -> XLA path
+        100: None,      # below pallas_min_n
+    }
+    for n, route in expect.items():
+        assert executor.pallas_route(n, np.complex64, mode="tpu") == route, n
+    # c128 never routes to the c64-only kernels
+    assert executor.pallas_route(65536, np.complex128, mode="tpu") is None

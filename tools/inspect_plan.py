@@ -67,8 +67,12 @@ def main():
         if args.direction == "forward"
         else planner.plan_fft_inverse(args.n)
     )
+    from rustfft_tpu import executor
+
     print("=== recipe ===")
     print(describe(plan.recipe))
+    route = executor.pallas_route(args.n, plan.dtype)
+    print(f"pallas route: {route or 'none (XLA recipe tree)'}")
 
     re = np.zeros((1, args.n), dtype=np.float32)
     print("\n=== jaxpr ===")
