@@ -124,6 +124,12 @@ def bench_numpy(n: int, batch_cap: int = 1 << 22, iters: int = 3):
 
 
 def main():
+    # remote AOT compiles on the tunneled chip run ~30-60s per shape; persist
+    # executables so reruns (and repeated driver invocations) skip them
+    from rustfft_tpu.config import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     configs = [
         (1024, 65536),
         (4096, 16384),
