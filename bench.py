@@ -53,9 +53,13 @@ def bench_config(n: int, batch: int, iters: int = 8):
     t0 = time.perf_counter()
     float(nothing((re, im)))
     t_over = time.perf_counter() - t0
-    # the device may be time-shared; best-of-3 approximates unloaded speed
+    # the device may be time-shared; best-of-N approximates unloaded speed.
+    # The small/prime routes (many tiny grid steps) are the most contention-
+    # exposed (r2 driver run: 1009 came out 2.3x below within-run at the
+    # same stream rate), so give them extra rounds.
+    rounds = 5 if n <= 16384 else 3
     t_total = None
-    for _ in range(3):
+    for _ in range(rounds):
         t0 = time.perf_counter()
         float(many((re, im)))
         t = time.perf_counter() - t0
@@ -101,6 +105,92 @@ def bench_stream(nbytes: int = 1 << 28, iters: int = 8):
     return 2 * 4 * size / t_per / 1e9
 
 
+def bench_matmul(dim: int = 4096, iters: int = 8):
+    """Same-run MXU bf16 matmul rate (TFLOP/s): chained (dim, dim) single-pass
+    bf16 dots, timed exactly like bench_config.  This is the compute-roofline
+    denominator for the op-count-bound bands (the memory stream rate is the
+    denominator for the bandwidth-bound ones)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    w = jax.device_put(
+        (rng.standard_normal((dim, dim)) * 0.01).astype(jnp.bfloat16)
+    )
+    v = jax.device_put(
+        (rng.standard_normal((dim, dim)) * 0.01).astype(jnp.bfloat16)
+    )
+
+    @jax.jit
+    def many(v):
+        def body(i, v):
+            return jax.lax.dot(
+                v, w, preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)
+
+        return jax.lax.fori_loop(0, iters, body, v)[0, 0].astype(jnp.float32)
+
+    @jax.jit
+    def nothing(v):
+        return v[0, 0].astype(jnp.float32)
+
+    float(many(v))
+    float(nothing(v))
+    t0 = time.perf_counter()
+    float(nothing(v))
+    t_over = time.perf_counter() - t0
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(many(v))
+        t = time.perf_counter() - t0
+        best = t if best is None else min(best, t)
+    t_per = max((best - t_over) / iters, 1e-9)
+    return 2.0 * dim**3 / t_per / 1e12
+
+
+def mxu_flops_per_point(n: int):
+    """Model of bf16 MXU flops per signal point for the tier serving n, or
+    None when the size rides the XLA path (no closed-form model).
+
+    Per GEMM pass over a factor r the block-complex contraction costs 8r
+    flops/point; the bf16x3 precision tier triples passes (bf16x2: doubles).
+    Conv (Rader/Bluestein) routes run 2 FFTs of the inner length m, scaled
+    by m/n points, with the boundary-stage trim on stages A/B'.
+    """
+    from rustfft_tpu import executor
+    from rustfft_tpu.config import config
+    from rustfft_tpu.ops.pallas import conv, fused, lanepack, large
+
+    passes = {"bf16x3": 3, "bf16x2": 2}.get(config.pallas_precision, 6)
+    route = executor.pallas_route(n, np.complex64, mode="tpu")
+    if route == "lanepack":
+        return 8 * sum(lanepack.choose_radices(n)) * passes
+    if route == "two_stage":
+        p, q = fused._choose_pq(n)
+        return 8 * (p + q) * passes
+    if route == "radix":
+        r, p, q = fused.choose_rpq(n)
+        return 8 * (p + q) * passes
+    if route == "large":
+        p, q1, q2 = large.choose_pqq(n)
+        return 8 * (p + q1 + q2) * passes
+    # prime classes: the conv kernel if the planner's inner length admits it
+    from rustfft_tpu import FftPlanner
+    from rustfft_tpu import recipes
+
+    recipe = FftPlanner().plan_fft_forward(n).recipe
+    if isinstance(recipe, (recipes.Raders, recipes.Bluesteins)):
+        m = recipe.inner.length
+        if conv.conv_supported(m, np.complex64):
+            p, q = fused._choose_pq(m)
+            p_in = -(-n // q)
+            # stages: A (K=2*p_in), B (q), A' (q), B' (M=2*p_out~p_in)
+            per_m = 8 * (p_in + q + q + p_in) * passes
+            return per_m * m / n
+    return None
+
+
 def roofline_gflops(n: int, stream_gbps: float) -> float:
     """Memory-bound speed of light: one HBM read + one write of the c64
     signal (16 bytes/point as an f32 pair) at the measured stream rate,
@@ -135,7 +225,9 @@ def main():
         (4096, 16384),
         (65536, 1024),
         (1 << 20, 64),
-        (1 << 22, 16),  # above-2^20 tier (reference benches pow2 to 2^24)
+        (1 << 22, 16),
+        (1 << 23, 8),  # 3-kernel pipeline tier (reference benches to 2^24)
+        (1 << 24, 4),
         (1234, 8192),  # BASELINE config 1 (planner path, non-pow2)
         (1009, 8192),  # BASELINE config 3 (Rader prime)
         (65537, 512),  # BASELINE config 3 (largest prime; Rader inner 2^16)
@@ -143,21 +235,34 @@ def main():
     ]
 
     stream_gbps = bench_stream()
-    print(f"# stream: {stream_gbps:.0f} GB/s (same-run roofline denominator)",
-          file=sys.stderr)
+    mxu_tflops = bench_matmul()
+    print(
+        f"# stream: {stream_gbps:.0f} GB/s, MXU bf16 {mxu_tflops:.0f} TFLOP/s"
+        f" (same-run roofline denominators)",
+        file=sys.stderr,
+    )
 
     results = []
     roofline_pcts = []
     for n, batch in configs:
         t_per, gflops = bench_config(n, batch)
         base_gflops = bench_numpy(n)
-        roof = roofline_gflops(n, stream_gbps)
+        mem_roof = roofline_gflops(n, stream_gbps)
+        fpp = mxu_flops_per_point(n)
+        if fpp is not None:
+            comp_roof = 5.0 * math.log2(n) * mxu_tflops * 1e3 / fpp
+            roof = min(mem_roof, comp_roof)
+            wall = "mem" if mem_roof <= comp_roof else "mxu"
+            comp_txt = f"{comp_roof:7.0f}"
+        else:
+            roof, wall, comp_txt = mem_roof, "mem", "      -"
         pct = 100.0 * gflops / roof
         results.append((gflops, base_gflops))
         roofline_pcts.append(pct)
         print(
             f"# n={n:>8} batch={batch:>6}: {t_per*1e3:8.3f} ms/fft "
-            f"{gflops:9.1f} GFLOP/s | roofline {roof:7.1f} -> {pct:5.1f}% "
+            f"{gflops:9.1f} GFLOP/s | roof mem {mem_roof:7.0f} mxu {comp_txt}"
+            f" -> {pct:5.1f}% of {wall} "
             f"| numpy cpu {base_gflops:6.1f} | ratio {gflops/base_gflops:8.1f}x",
             file=sys.stderr,
         )
@@ -169,12 +274,13 @@ def main():
         json.dumps(
             {
                 "metric": "batched c64 FFT GFLOP/s, geomean over sizes "
-                "{1024,4096,65536,2^20,2^22,1234,1009,65537,3888}",
+                "{1024,4096,65536,2^20,2^22,2^23,2^24,1234,1009,65537,3888}",
                 "value": round(geo, 2),
                 "unit": "GFLOP/s (5N log2 N)",
                 "vs_baseline": round(geo / geo_base, 2),
                 "roofline_pct_geomean": round(geo_roof, 1),
                 "stream_gbps": round(stream_gbps, 1),
+                "mxu_bf16_tflops": round(mxu_tflops, 1),
             }
         )
     )

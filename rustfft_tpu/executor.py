@@ -109,8 +109,13 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
         return "radix"
 
     # tier 4 outranks a feasible-but-slower single-kernel split at the top
-    # of the fused range (see config.large_min_n)
-    if n >= config.large_min_n and large.large_supported(n, dtype):
+    # of the fused range.  config.large_min_n assumes the radix tier is on;
+    # with it off, the old 262144 threshold applies (measured: at 262144 the
+    # large pipeline beats the two-stage kernel 609 vs 390 GF/s).
+    large_min = config.large_min_n if config.use_radix_fused else min(
+        config.large_min_n, 262144
+    )
+    if n >= large_min and large.large_supported(n, dtype):
         return "large"
 
     if aligned:

@@ -71,13 +71,25 @@ def conv_any_supported(m: int, dtype) -> bool:
     return conv_supported(m, dtype) or lanepack.lanepack_conv_supported(m, dtype)
 
 
-def _pick_batch_tile(batch: int, m: int, p: int, q: int) -> int:
+def _pick_batch_tile(
+    batch: int, m: int, p: int, q: int, p_in: Optional[int] = None,
+    p_out: Optional[int] = None,
+) -> int:
     # subtract the constant tables (DFT blocks + twiddles + H + pre/post)
     # from the budget, as fused._pick_batch_tile does — near the feasibility
-    # boundary the combined working set must still fit vmem_limit_bytes
-    consts = 4 * (4 * p * p + 4 * q * q + 8 * p * q)
+    # boundary the combined working set must still fit vmem_limit_bytes.
+    # The boundary-stage trim slices the stage-A/B' DFT blocks and the
+    # in/out tiles to the live row-groups (p_in/p_out); mid-pipeline stages
+    # still span the full (p, q) conv width.
+    p_in = p if p_in is None else p_in
+    p_out = p if p_out is None else p_out
+    consts = 6 * (4 * p * p_in + 4 * p * p_out + 4 * q * q) + 4 * (
+        4 * m + p_in * q + p_out * q
+    )
     budget = int(config.pallas_vmem_limit * 0.7) - consts
-    per_row = 24 * 4 * m
+    # ~4 live f32 copies at the input tile width, ~16 at the full conv
+    # width, ~4 at the output tile width
+    per_row = 4 * (4 * p_in * q + 16 * m + 4 * p_out * q)
     tb = max(1, budget // per_row)
     tb = 1 << (tb.bit_length() - 1)
     return max(1, min(tb, 128, batch))
@@ -182,6 +194,7 @@ def make_bluestein_fn(
     direction: FftDirection,
     dtype,
     interpret: bool = False,
+    batch_tile: Optional[int] = None,
 ) -> Callable:
     """Whole Bluestein transform of length n (inner length m) as one kernel.
 
@@ -203,6 +216,7 @@ def make_bluestein_fn(
         n_in=n,
         n_out=n,
         interpret=interpret,
+        batch_tile=batch_tile,
     )
 
 
@@ -211,6 +225,7 @@ def make_raders_fn(
     direction: FftDirection,
     dtype,
     interpret: bool = False,
+    batch_tile: Optional[int] = None,
 ) -> Callable:
     """Whole Rader transform of prime length p as gathers + one conv kernel.
 
@@ -225,7 +240,8 @@ def make_raders_fn(
     m = p_prime - 1
     perm_in, inv_gather, b_fft = raders_tables(p_prime, direction)
 
-    core = make_conv_fn(m, direction, dtype, h=b_fft, interpret=interpret)
+    core = make_conv_fn(m, direction, dtype, h=b_fft, interpret=interpret,
+                        batch_tile=batch_tile)
     perm_in32 = perm_in.astype(np.int32)
     inv_gather32 = inv_gather.astype(np.int32)
 
@@ -259,6 +275,7 @@ def make_conv_fn(
     n_out: Optional[int] = None,
     interpret: bool = False,
     precision=None,
+    batch_tile: Optional[int] = None,
 ) -> Callable:
     """Build fn: Cplx (..., n_in) -> Cplx (..., n_out) computing
 
@@ -351,7 +368,8 @@ def make_conv_fn(
 
     def call(xr, xi):
         batch = xr.shape[0]
-        tb = _pick_batch_tile(batch, m, p, q)
+        tb = batch_tile or _pick_batch_tile(batch, m, p, q, p_in, p_out)
+        tb = min(tb, batch)
         pad_b = (-batch) % tb
         if pad_b:
             xr = jnp.pad(xr, ((0, pad_b), (0, 0)))

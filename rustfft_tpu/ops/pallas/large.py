@@ -161,9 +161,12 @@ def _kernel_b(q1, q2, pt, precision, variant, xr_ref, xi_ref, w1_hi_ref,
 
 
 def _lane_tile(dim: int, cap: int) -> int:
-    """Largest 128-multiple tile <= cap dividing `dim`, else `dim` itself
-    (legal via Mosaic's equal-to-array-dim exception — the whole axis as
-    one tile)."""
+    """Largest 128-multiple tile <= cap dividing `dim`, else `dim` itself.
+
+    The whole-dim fallback is only reachable for lane-misaligned factors,
+    which choose_pqq rejects for the TPU path (whole-dim lane blocks FAILED
+    the Mosaic compile at n = 3^11); make_large_fft_fn asserts 128-multiple
+    tiles off-interpret, so the fallback only serves interpret-mode tests."""
     t = min(cap, dim)
     while t >= 128:
         if dim % t == 0 and t % 128 == 0:
@@ -289,6 +292,15 @@ def make_large_fft_fn(
     lane_cap = max_lane_tile(q)
     assert lane_cap is not None, f"kernel-B tile for Q={q} exceeds VMEM"
     pt = _lane_tile(p, min(pt, lane_cap))
+    if not interpret:
+        # Mosaic rejects lane blocks that are neither 128-multiples nor ==
+        # the array dim, and whole-dim blocks for misaligned factors failed
+        # the compile outright (verified at n = 3^11) — reject up front
+        # rather than surfacing a Mosaic error from a harness-passed split.
+        assert qt % 128 == 0 and pt % 128 == 0, (
+            f"large pipeline needs 128-multiple lane tiles on TPU; "
+            f"got qt={qt}, pt={pt} for split {pqq}"
+        )
 
     from . import lanepack
 
