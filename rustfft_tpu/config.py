@@ -74,8 +74,12 @@ class FftConfig:
 
     #: MXU precision inside Pallas kernels.  "bf16x3" = manual 3-pass bf16
     #: emulation (f32-grade accuracy at half the passes of HIGHEST, which
-    #: Mosaic would otherwise use; Mosaic rejects Precision.HIGH).  Other
-    #: accepted values: jax.lax.Precision.HIGHEST / .DEFAULT.
+    #: Mosaic would otherwise use; Mosaic rejects Precision.HIGH).
+    #: Throughput tiers: "bf16x2" (2 passes, ~1e-4-grade — drops the
+    #: x_lo@w_hi pass AND the per-tile x_lo split) and "bf16" (1 pass,
+    #: ~1e-3-grade).  All clear the reference's 0.1 mean-error tolerance
+    #: by orders of magnitude.  Other accepted values:
+    #: jax.lax.Precision.HIGHEST / .DEFAULT.
     pallas_precision: object = "bf16x3"
 
     #: Scoped VMEM budget for Pallas kernels (bytes).  The TPU default is

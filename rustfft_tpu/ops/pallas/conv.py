@@ -45,7 +45,8 @@ from ...common import FftDirection
 from ...config import config
 from ... import twiddles
 from .. import calg
-from .fused import _choose_pq, _split_bf16, contract_rhs, contract_wlhs
+from .fused import (_choose_pq, contract_rhs, contract_wlhs,
+                    resolve_precision, w_split)
 
 from .util import i32map
 
@@ -299,13 +300,7 @@ def make_conv_fn(
     p, q = split
     n_in = n_in or m
     n_out = n_out or m
-    if precision is None:
-        precision = config.pallas_precision
-    if interpret and precision == "bf16x3":
-        # the interpreter lowers dots through XLA, whose dot merger re-fuses
-        # the hi/lo bf16x3 passes and destroys the correction terms; use
-        # true f32 there (interpret mode is for testing, not speed)
-        precision = jax.lax.Precision.HIGHEST
+    precision = resolve_precision(precision, interpret)
     rdt = np.float32
 
     # only ceil(n/q) row-groups of the length-m buffer carry real input /
@@ -345,14 +340,9 @@ def make_conv_fn(
     t1 = twiddles.twiddle_table(p, q, direction).T  # (q, p) [j2, k1]
     t2 = twiddles.twiddle_table(q, p, direction).T  # (p, q) [j2', k1'']
 
-    if precision == "bf16x3":
-        wp_hi, wp_lo = _split_bf16(wpa)
-        wpo_hi, wpo_lo = _split_bf16(wpo)
-        wq_hi, wq_lo = _split_bf16(wq)
-    else:
-        wp_hi, wp_lo = wpa, np.zeros_like(wpa, dtype=jnp.bfloat16)
-        wpo_hi, wpo_lo = wpo, np.zeros_like(wpo, dtype=jnp.bfloat16)
-        wq_hi, wq_lo = wq, np.zeros_like(wq, dtype=jnp.bfloat16)
+    wp_hi, wp_lo = w_split(wpa, precision)
+    wpo_hi, wpo_lo = w_split(wpo, precision)
+    wq_hi, wq_lo = w_split(wq, precision)
 
     consts = [
         wp_hi, wp_lo, wpo_hi, wpo_lo, wq_hi, wq_lo,

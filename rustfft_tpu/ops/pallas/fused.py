@@ -110,6 +110,14 @@ def _pick_batch_tile(batch: int, p: int, q: int) -> int:
     return max(1, min(tb, 128, batch))
 
 
+#: precision tiers emulated with manual bf16 splits inside Pallas kernels.
+#: bf16x3 = f32-grade (3 MXU passes); bf16x2 drops the x_lo@w_hi pass
+#: (~1e-4-grade, 2 passes, and the per-tile x_lo split is never computed);
+#: bf16 = single pass (~1e-3-grade).  The reference's 0.1 mean-error
+#: tolerance (accuracy.rs:30-37) clears all three by orders of magnitude.
+BF16_TIERS = ("bf16x3", "bf16x2", "bf16")
+
+
 def _split_bf16(w: np.ndarray):
     """Split an f32 matrix into (hi, lo) bf16 parts with w ~= hi + lo."""
     hi = w.astype(np.float32).astype(jnp.bfloat16)
@@ -117,6 +125,32 @@ def _split_bf16(w: np.ndarray):
         jnp.bfloat16
     )
     return np.asarray(hi), np.asarray(lo)
+
+
+def w_split(w: np.ndarray, precision):
+    """(hi, lo) weight-table pair for a kernel precision tier.
+
+    bf16 tiers ship true splits; XLA Precision tiers ship (f32, tiny-dummy)
+    — the lo half is unused but keeps kernel signatures uniform.
+    """
+    if precision in BF16_TIERS:
+        return _split_bf16(w)
+    return w, np.zeros_like(w, dtype=jnp.bfloat16)
+
+
+def resolve_precision(precision, interpret: bool):
+    """Config default + interpret-mode substitution, shared by all kernels.
+
+    Under the Pallas interpreter the dots lower through XLA, whose dot
+    merger re-fuses the manual bf16 passes and cancels the correction terms
+    (plain-bf16 accuracy on bf16-native backends) — substitute true f32
+    there (interpret mode is for testing, not speed).
+    """
+    if precision is None:
+        precision = config.pallas_precision
+    if interpret and precision in BF16_TIERS:
+        return jax.lax.Precision.HIGHEST
+    return precision
 
 
 def _dot3(x: jnp.ndarray, w_hi, w_lo, dims):
@@ -153,10 +187,38 @@ def _dot3_wlhs(w_hi, w_lo, x: jnp.ndarray, dims):
     )
 
 
+def _dot2(x: jnp.ndarray, w_hi, w_lo, dims):
+    """bf16x2: drop _dot3's x_lo@w_hi pass — the x_lo split is never
+    computed, saving a VPU subtract/convert per tile as well as an MXU pass.
+    Error ~2^-9 relative (x's dropped low bf16 bits)."""
+    x_hi = x.astype(jnp.bfloat16)
+    kw = dict(preferred_element_type=jnp.float32)
+    return (
+        jax.lax.dot_general(x_hi, w_hi, dims, **kw)
+        + jax.lax.dot_general(x_hi, w_lo, dims, **kw)
+    )
+
+
+def _dot2_wlhs(w_hi, w_lo, x: jnp.ndarray, dims):
+    x_hi = x.astype(jnp.bfloat16)
+    kw = dict(preferred_element_type=jnp.float32)
+    return (
+        jax.lax.dot_general(w_hi, x_hi, dims, **kw)
+        + jax.lax.dot_general(w_lo, x_hi, dims, **kw)
+    )
+
+
 def contract_rhs(x, w_hi, w_lo, dims, precision):
     """Precision-dispatching contraction with x as lhs (shared by kernels)."""
     if precision == "bf16x3":
         return _dot3(x, w_hi, w_lo, dims)
+    if precision == "bf16x2":
+        return _dot2(x, w_hi, w_lo, dims)
+    if precision == "bf16":
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), w_hi, dims,
+            preferred_element_type=jnp.float32,
+        )
     return jax.lax.dot_general(
         x, w_hi, dims, preferred_element_type=jnp.float32, precision=precision
     )
@@ -166,6 +228,13 @@ def contract_wlhs(w_hi, w_lo, x, dims, precision):
     """Precision-dispatching contraction with the weights as lhs."""
     if precision == "bf16x3":
         return _dot3_wlhs(w_hi, w_lo, x, dims)
+    if precision == "bf16x2":
+        return _dot2_wlhs(w_hi, w_lo, x, dims)
+    if precision == "bf16":
+        return jax.lax.dot_general(
+            w_hi, x.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32,
+        )
     return jax.lax.dot_general(
         w_hi, x, dims, preferred_element_type=jnp.float32, precision=precision
     )
@@ -321,25 +390,14 @@ def make_fused_two_stage_fn(
         # XLA do the final (batch, p, q) -> (batch, q, p) transpose.
         variant = "transpose_in_kernel" if p >= 128 else "transpose_outside"
     rdt = np.float32
-    if precision is None:
-        precision = config.pallas_precision
-    if interpret and precision == "bf16x3":
-        # under the Pallas interpreter the dots lower through XLA, whose dot
-        # merger re-fuses the hi/lo passes and cancels the correction terms
-        # (plain-bf16 accuracy on bf16-native backends); use true f32 there
-        precision = jax.lax.Precision.HIGHEST
+    precision = resolve_precision(precision, interpret)
 
     # Both stages contract the sublane axis against a block_mid DFT block
     # ([[Wr,-Wi],[Wi,Wr]]): stage 1 for DFT_p, stage 2 for DFT_q.
     wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)  # (2p, 2p)
     wq = calg.block_mid(twiddles.dft_matrix(q, direction), rdt)  # (2q, 2q)
-    if precision == "bf16x3":
-        wp_hi, wp_lo = _split_bf16(wp)
-        wq_hi, wq_lo = _split_bf16(wq)
-    else:
-        # lo halves unused; keep them tiny-typed to save VMEM
-        wp_hi, wp_lo = wp, np.zeros_like(wp, dtype=jnp.bfloat16)
-        wq_hi, wq_lo = wq, np.zeros_like(wq, dtype=jnp.bfloat16)
+    wp_hi, wp_lo = w_split(wp, precision)
+    wq_hi, wq_lo = w_split(wq, precision)
     tw = twiddles.twiddle_table(p, q, direction).T  # (q, p) = [j2, k1]
     twr = np.ascontiguousarray(tw.real).astype(rdt)
     twi = np.ascontiguousarray(tw.imag).astype(rdt)
@@ -352,11 +410,7 @@ def make_fused_two_stage_fn(
         # half-K blocks: stage contraction = dot(xr, wA) + dot(xi, wB)
         consts = []
         for w in (wp[:, :p], wp[:, p:], wq[:, :q], wq[:, q:]):
-            w = np.ascontiguousarray(w)
-            if precision == "bf16x3":
-                consts.extend(_split_bf16(w))
-            else:
-                consts.extend((w, np.zeros_like(w, dtype=jnp.bfloat16)))
+            consts.extend(w_split(np.ascontiguousarray(w), precision))
         consts.extend((twr, twi))
     else:
         consts = [wp_hi, wp_lo, wq_hi, wq_lo, twr, twi]
@@ -544,23 +598,14 @@ def make_fused_three_stage_fn(
     q = q1 * q2
     assert p * q == n
     rdt = np.float32
-    if precision is None:
-        precision = config.pallas_precision
-    if interpret and precision == "bf16x3":
-        precision = jax.lax.Precision.HIGHEST
+    precision = resolve_precision(precision, interpret)
 
     wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)
     w1 = calg.block_mid(twiddles.dft_matrix(q1, direction), rdt)
     w2 = calg.block_mid(twiddles.dft_matrix(q2, direction), rdt)
-    if precision == "bf16x3":
-        wp_hi, wp_lo = _split_bf16(wp)
-        w1_hi, w1_lo = _split_bf16(w1)
-        w2_hi, w2_lo = _split_bf16(w2)
-    else:
-        zeros = lambda w: np.zeros_like(w, dtype=jnp.bfloat16)
-        wp_hi, wp_lo = wp, zeros(wp)
-        w1_hi, w1_lo = w1, zeros(w1)
-        w2_hi, w2_lo = w2, zeros(w2)
+    wp_hi, wp_lo = w_split(wp, precision)
+    w1_hi, w1_lo = w_split(w1, precision)
+    w2_hi, w2_lo = w_split(w2, precision)
     t1 = twiddles.twiddle_table(p, q, direction).T  # (q, p) [j2, k1]
     t2 = twiddles.twiddle_table(q1, q2, direction)  # (q1, q2) [ka, jb]
     consts = [
@@ -767,19 +812,12 @@ def make_fused_radix_fn(
     m1 = r * p
     assert m1 * q == n
     rdt = np.float32
-    if precision is None:
-        precision = config.pallas_precision
-    if interpret and precision == "bf16x3":
-        precision = jax.lax.Precision.HIGHEST
+    precision = resolve_precision(precision, interpret)
 
     wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)
     wq = calg.block_mid(twiddles.dft_matrix(q, direction), rdt)
-    if precision == "bf16x3":
-        wp_hi, wp_lo = _split_bf16(wp)
-        wq_hi, wq_lo = _split_bf16(wq)
-    else:
-        wp_hi, wp_lo = wp, np.zeros_like(wp, dtype=jnp.bfloat16)
-        wq_hi, wq_lo = wq, np.zeros_like(wq, dtype=jnp.bfloat16)
+    wp_hi, wp_lo = w_split(wp, precision)
+    wq_hi, wq_lo = w_split(wq, precision)
     # t1[a, d] = w_{rp}^{a*d}; t2[c, j2, d] = w_n^{(c*p + d) * j2}.  t2 ships
     # 2D as (r*q, p) so the in-kernel reshape splits the sublane axis only
     # (lane-dim splits are illegal in VMEM).

@@ -40,7 +40,7 @@ from ...common import FftDirection
 from ...config import config
 from ... import twiddles
 from .. import calg
-from .fused import _split_bf16, contract_wlhs
+from .fused import contract_wlhs, resolve_precision, w_split
 
 from .util import i32map
 
@@ -194,11 +194,7 @@ def _stage_consts(n, radices, direction, precision):
         w = calg.block_mid(twiddles.dft_matrix(r, direction), rdt)  # (2r, 2r)
         # K-halves for the concat-free stages: wA against re, wB against im
         for half in (w[:, :r], w[:, r:]):
-            half = np.ascontiguousarray(half)
-            if precision == "bf16x3":
-                consts.extend(_split_bf16(half))
-            else:
-                consts.extend((half, np.zeros_like(half, dtype=jnp.bfloat16)))
+            consts.extend(w_split(np.ascontiguousarray(half), precision))
     # inter-stage twiddles: after contracting r_s, twiddle w_{r_s*rest}^(k_s*j)
     rest = n
     for r in radices[:-1]:
@@ -287,12 +283,7 @@ def make_lanepack_fn(
     radices = tuple(radices or choose_radices(n))
     assert int(np.prod(radices)) == n, (radices, n)
     k = len(radices)
-    if precision is None:
-        precision = config.pallas_precision
-    if interpret and precision == "bf16x3":
-        # interpreter lowers dots through XLA, whose dot merger re-fuses the
-        # bf16x3 passes and destroys the correction terms; use true f32
-        precision = jax.lax.Precision.HIGHEST
+    precision = resolve_precision(precision, interpret)
     rdt = np.float32
 
     consts = _stage_consts(n, radices, direction, precision)
@@ -481,10 +472,7 @@ def make_lanepack_conv_fn(
     assert radices is not None, f"no lanepack radices for m={m}"
     n_in = n_in or m
     n_out = n_out or m
-    if precision is None:
-        precision = config.pallas_precision
-    if interpret and precision == "bf16x3":
-        precision = jax.lax.Precision.HIGHEST
+    precision = resolve_precision(precision, interpret)
     rdt = np.float32
 
     if group is None:

@@ -50,7 +50,8 @@ from ...common import FftDirection
 from ...config import config
 from ... import twiddles
 from .. import calg
-from .fused import _split_bf16, contract_rhs as _contract, contract_wlhs
+from .fused import (contract_rhs as _contract, contract_wlhs,
+                    resolve_precision, w_split)
 
 from .util import i32map
 
@@ -274,13 +275,7 @@ def make_large_fft_fn(
     p, q1, q2 = pqq
     q = q1 * q2
     assert p * q == n
-    if precision is None:
-        precision = config.pallas_precision
-    if interpret and precision == "bf16x3":
-        # the interpreter lowers dots through XLA, whose dot merger re-fuses
-        # the hi/lo bf16x3 passes and destroys the correction terms; use
-        # true f32 there (interpret mode is for testing, not speed)
-        precision = jax.lax.Precision.HIGHEST
+    precision = resolve_precision(precision, interpret)
     rdt = np.float32
 
     # Lane-tile rule (Mosaic): a block's lane dim must be a multiple of 128
@@ -336,15 +331,9 @@ def make_large_fft_fn(
     twr_i = np.ascontiguousarray(tw_inner.real).astype(rdt)
     twi_i = np.ascontiguousarray(tw_inner.imag).astype(rdt)
 
-    if precision == "bf16x3":
-        wp_hi, wp_lo = _split_bf16(wp)
-        w1_hi, w1_lo = _split_bf16(w1)
-        w2_hi, w2_lo = _split_bf16(w2)
-    else:
-        zeros = lambda w: np.zeros_like(w, dtype=jnp.bfloat16)
-        wp_hi, wp_lo = wp, zeros(wp)
-        w1_hi, w1_lo = w1, zeros(w1)
-        w2_hi, w2_lo = w2, zeros(w2)
+    wp_hi, wp_lo = w_split(wp, precision)
+    w1_hi, w1_lo = w_split(w1, precision)
+    w2_hi, w2_lo = w_split(w2, precision)
 
     if deep_a:
         kernel_a = functools.partial(_kernel_a_deep, p, qt, a_radices, precision)

@@ -405,3 +405,44 @@ def test_pallas_route_table():
         assert executor.pallas_route(n, np.complex64, mode="tpu") == route, n
     # c128 never routes to the c64-only kernels
     assert executor.pallas_route(65536, np.complex128, mode="tpu") is None
+
+
+def test_precision_tiers_plumbing():
+    """The bf16x2/bf16 throughput tiers thread through every kernel factory
+    (interpret mode substitutes true f32, so this pins plumbing + shapes;
+    the accuracy of the 2-/1-pass math is a hardware-tier artifact,
+    ACCURACY_TPU.md)."""
+    import jax
+
+    for prec in ("bf16x2", "bf16"):
+        # resolve_precision substitutes HIGHEST under the interpreter and
+        # passes the tier through untouched on hardware
+        assert (
+            fused.resolve_precision(prec, True) == jax.lax.Precision.HIGHEST
+        )
+        assert fused.resolve_precision(prec, False) == prec
+        fn = fused.make_fused_two_stage_fn(
+            256, FftDirection.FORWARD, np.complex64, interpret=True,
+            precision=prec,
+        )
+        sig = random_signal(2 * 256, dtype=np.complex64, seed=9).reshape(2, 256)
+        re, im = calg.from_numpy(sig, np.float32)
+        out_r, out_i = fn((re, im))
+        out = np.asarray(out_r) + 1j * np.asarray(out_i)
+        err = mean_element_error(out, oracle_dft(sig, FftDirection.FORWARD))
+        assert err < 1e-2, (prec, err)
+
+
+def test_w_split_reconstructs():
+    """bf16 (hi, lo) weight splits reconstruct the f32 table to bf16^2."""
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((16, 16)).astype(np.float32)
+    for prec in ("bf16x3", "bf16x2", "bf16"):
+        hi, lo = fused.w_split(w, prec)
+        back = np.asarray(hi, np.float32) + np.asarray(lo, np.float32)
+        assert np.abs(back - w).max() < 1e-4
+    # XLA tiers ship the f32 table untouched
+    import jax
+
+    hi, lo = fused.w_split(w, jax.lax.Precision.HIGHEST)
+    assert hi.dtype == np.float32 and np.array_equal(hi, w)
