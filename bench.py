@@ -177,6 +177,11 @@ def mxu_flops_per_point(n: int):
     if route == "large":
         p, q1, q2 = large.choose_pqq(n)
         return 8 * (p + q1 + q2) * passes
+    if route == "large3":
+        from rustfft_tpu.ops.pallas import large3
+
+        p1, p2, q1, q2, q = large3.choose_split3(n)
+        return 8 * (p1 + q1 + q2) * passes  # P2 digit rides the VPU
     # prime classes: the conv kernel if the planner's inner length admits it
     from rustfft_tpu import FftPlanner
     from rustfft_tpu import recipes

@@ -78,6 +78,8 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
       'radix'       radix-r fused (MXU 128x128 stages + VPU radix chain):
                     the 32k..262k band.
       'large'       two-kernel pipeline (ops/pallas/large.py): beyond VMEM.
+      'large3'      three-kernel pipeline (ops/pallas/large3.py): beyond the
+                    two-kernel ceiling of 2^22, up to 2^26.
       'three_stage' / 'two_stage'  single-pass fused kernels (fused.py) for
                     lane-aligned mid sizes.
 
@@ -88,7 +90,7 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
         mode = _pallas_mode()
     if mode == "off":
         return None
-    from .ops.pallas import fused, lanepack, large
+    from .ops.pallas import fused, lanepack, large, large3
 
     if mode == "tpu" and n < config.pallas_min_n:
         return None
@@ -117,6 +119,11 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
     )
     if n >= large_min and large.large_supported(n, dtype):
         return "large"
+    # tier 5: beyond the two-kernel pipeline's 2^22 Mosaic/VMEM ceiling the
+    # three-kernel pipeline (3 HBM passes) still beats the ~6-pass XLA
+    # six-step fallback
+    if n >= large_min and large3.large3_supported(n, dtype):
+        return "large3"
 
     if aligned:
         if n >= config.three_stage_min_n and fused.three_stage_supported(n, dtype):
@@ -135,13 +142,14 @@ def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[
     route = pallas_route(n, dtype, mode)
     if route is None:
         return None
-    from .ops.pallas import fused, lanepack, large
+    from .ops.pallas import fused, lanepack, large, large3
 
     interpret = mode == "interpret"
     builder = {
         "lanepack": lanepack.make_lanepack_fn,
         "radix": fused.make_fused_radix_fn,
         "large": large.make_large_fft_fn,
+        "large3": large3.make_large3_fft_fn,
         "three_stage": fused.make_fused_three_stage_fn,
         "two_stage": fused.make_fused_two_stage_fn,
     }[route]

@@ -398,7 +398,9 @@ def test_pallas_route_table():
         4096: "two_stage", 16384: "two_stage",
         32768: "radix", 65536: "radix", 131072: "radix", 262144: "radix",
         524288: "large", 1 << 20: "large", 1 << 22: "large",
-        1 << 23: None,  # beyond the measured Mosaic ceiling -> XLA path
+        # beyond the two-kernel Mosaic ceiling -> three-kernel pipeline
+        1 << 23: "large3", 1 << 24: "large3", 1 << 26: "large3",
+        3 << 22: None,  # non-pow2 P2 digit -> XLA path
         100: None,      # below pallas_min_n
     }
     for n, route in expect.items():
@@ -446,3 +448,54 @@ def test_w_split_reconstructs():
 
     hi, lo = fused.w_split(w, jax.lax.Precision.HIGHEST)
     assert hi.dtype == np.float32 and np.array_equal(hi, w)
+
+
+def test_large3_matches_oracle():
+    """Three-kernel pipeline (interpret mode, scaled-down split): the full
+    pass1/pass2/pass3 chain with 4D block scatter must land natural order."""
+    from rustfft_tpu.ops.pallas import large3
+
+    for split, batch in (((8, 2, 4, 4, 16)), 3), ((8, 4, 4, 4, 16), 2):
+        p1, p2, q1, q2, q = split
+        n = p1 * p2 * q
+        fn = large3.make_large3_fft_fn(
+            n, FftDirection.FORWARD, np.complex64, split=split,
+            interpret=True, pt=8, qt=16,
+        )
+        sig = random_signal(batch * n, dtype=np.complex64, seed=n).reshape(
+            batch, n
+        )
+        re, im = calg.from_numpy(sig, np.float32)
+        out_r, out_i = fn((re, im))
+        out = np.asarray(out_r) + 1j * np.asarray(out_i)
+        err = mean_element_error(out, oracle_dft(sig, FftDirection.FORWARD))
+        assert err < 1e-2, (split, err)
+
+
+def test_large3_inverse_and_qt2_tiling():
+    from rustfft_tpu.ops.pallas import large3
+
+    split = (8, 2, 4, 4, 16)
+    n = 8 * 2 * 16
+    fn = large3.make_large3_fft_fn(
+        n, FftDirection.INVERSE, np.complex64, split=split, interpret=True,
+        pt=8, qt=16, qt2=8,  # qt2 < Q exercises the strided pass-2 blocks
+    )
+    sig = random_signal(2 * n, dtype=np.complex64, seed=7).reshape(2, n)
+    re, im = calg.from_numpy(sig, np.float32)
+    out_r, out_i = fn((re, im))
+    out = np.asarray(out_r) + 1j * np.asarray(out_i)
+    err = mean_element_error(out, oracle_dft(sig, FftDirection.INVERSE))
+    assert err < 1e-2, err
+
+
+def test_large3_split_chooser():
+    from rustfft_tpu.ops.pallas import large3
+
+    for n in (1 << 23, 1 << 24, 1 << 25, 1 << 26):
+        sp = large3.choose_split3(n)
+        p1, p2, q1, q2, q = sp
+        assert p1 * p2 * q == n and q1 * q2 == q, (n, sp)
+        assert p1 % 128 == 0 and p2 in (2, 4, 8, 16, 32), (n, sp)
+    assert large3.choose_split3(3 << 22) is None  # non-pow2 P2
+    assert not large3.large3_supported(1 << 23, np.complex128)
