@@ -189,6 +189,9 @@ def mxu_flops_per_point(n: int):
     recipe = FftPlanner().plan_fft_forward(n).recipe
     if isinstance(recipe, (recipes.Raders, recipes.Bluesteins)):
         m = recipe.inner.length
+        if m >= config.conv_radix_min_m and fused.choose_rpq(m) is not None:
+            r, p, q = fused.choose_rpq(m)  # radix conv core: 2 vpur FFTs
+            return 2 * 8 * (p + q) * passes * m / n
         if conv.conv_supported(m, np.complex64):
             p, q = fused._choose_pq(m)
             p_in = -(-n // q)

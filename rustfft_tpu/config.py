@@ -72,6 +72,14 @@ class FftConfig:
     #: 774/696/467/390 for the two-stage kernel (same run).
     use_radix_fused: bool = True
 
+    #: Smallest Bluestein/Rader inner length m routed to the two-kernel
+    #: radix-structured convolution core (ops/pallas/conv_radix.py) instead
+    #: of the dense single-kernel core.  Needs m = r*128*128, r a power of
+    #: two in [2, 16]; at m >= 65536 the dense core's 2*24*(p+q)
+    #: flops/point MXU cost dominates the radix core's one extra HBM
+    #: round-trip.
+    conv_radix_min_m: int = 65536
+
     #: MXU precision inside Pallas kernels.  "bf16x3" = manual 3-pass bf16
     #: emulation (f32-grade accuracy at half the passes of HIGHEST, which
     #: Mosaic would otherwise use; Mosaic rejects Precision.HIGH).

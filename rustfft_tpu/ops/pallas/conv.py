@@ -64,6 +64,23 @@ def conv_supported(m: int, dtype) -> bool:
     return consts + 24 * 4 * m <= int(config.pallas_vmem_limit * 0.9)
 
 
+def _conv_core_fn(m, direction, dtype, **kw):
+    """Pick the convolution core for inner length m: the radix-structured
+    two-kernel core for big r*128*128 inners (half/third the MXU flops of
+    the dense single kernel — crossover measured at m >= 65536, where the
+    dense 2*24*(p+q) flops/point dominate the one extra HBM round-trip),
+    else the single-kernel dense core."""
+    from . import conv_radix
+
+    if (
+        m >= config.conv_radix_min_m
+        and conv_radix.radix_conv_supported(m, dtype)
+    ):
+        kw.pop("batch_tile", None)  # radix core sizes its own tiles
+        return conv_radix.make_radix_conv_fn(m, direction, dtype, **kw)
+    return make_conv_fn(m, direction, dtype, **kw)
+
+
 def conv_any_supported(m: int, dtype) -> bool:
     """Some fused conv kernel applies: the lane-aligned one above, or the
     lanepack (m-on-sublanes) one for lane-misaligned m (lanepack.py)."""
@@ -206,7 +223,7 @@ def make_bluestein_fn(
     from ..bluestein import bluestein_tables
 
     chirp, h_fft = bluestein_tables(n, m, direction)
-    return make_conv_fn(
+    return _conv_core_fn(
         m,
         direction,
         dtype,
@@ -241,8 +258,8 @@ def make_raders_fn(
     m = p_prime - 1
     perm_in, inv_gather, b_fft = raders_tables(p_prime, direction)
 
-    core = make_conv_fn(m, direction, dtype, h=b_fft, interpret=interpret,
-                        batch_tile=batch_tile)
+    core = _conv_core_fn(m, direction, dtype, h=b_fft, interpret=interpret,
+                         batch_tile=batch_tile)
     perm_in32 = perm_in.astype(np.int32)
     inv_gather32 = inv_gather.astype(np.int32)
 

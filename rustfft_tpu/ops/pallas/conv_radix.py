@@ -1,0 +1,304 @@
+"""Radix-structured convolution core: the Bluestein/Rader pipeline for big
+inner lengths m = r * 128 * 128 (r a power of two in [2, 16]).
+
+The single-kernel conv pipeline (ops/pallas/conv.py) runs both inner FFTs
+as dense two-stage MXU contractions — 2 * 24*(p+q) bf16-flops/point, which
+at m = 65536 (256x256 split) is 24.6k flops/point and MXU-bound (~4ms of
+the 15.5ms total at 65537 x 512).  The radix-r fused kernel
+(fused._fused_kernel_vpur) computes the same FFT at 24*(128+128)
+flops/point + a cheap VPU radix chain — but two vpur FFTs cannot chain
+inside one kernel: FFT #1 ends on a (tb, q, r*p) natural layout whose
+reinterpretation as the (tb, p, r*q) stage-A input is a lane-dim split,
+illegal in VMEM.  So the pipeline runs as TWO kernels over natural-order
+HBM buffers:
+
+  kernel 1: [pre .] vpur-FFT_m -> conj( . H )      (H in natural order!)
+  kernel 2: vpur-FFT_m -> [conj] [. post]
+
+at the cost of one extra HBM round-trip (4 traversals vs 2) — ~0.027
+ns/point at stream rate, far below the 12.3k-flops/point MXU saving at
+m >= 65536.  Both FFTs land natural order, so H/pre/post tables ship as
+plain (q, r*p) / (p_in, r*q) reshapes — no layout shuffling (vs conv.py's
+[k1, k2]-transposed H).
+
+Input trimming mirrors conv.py's boundary-stage trim: only the live
+p_in = ceil(n_in / (r*q)) sublane row-groups are streamed and contracted
+(stage A's DFT block column-sliced to K = 2*p_in).
+
+Reference counterpart: RadersAlgorithm/BluesteinsAlgorithm inner FFTs
+(raders_algorithm.rs:174-233, bluesteins_algorithm.rs:100-136) with the
+AVX backends' radix-chain inner drivers (avx_mixed_radix.rs).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...common import FftDirection
+from ...config import config
+from ... import twiddles
+from .. import calg
+from .fused import (_vpu_fft_list, choose_rpq, contract_rhs, resolve_precision,
+                    w_split)
+
+from .util import i32map
+
+
+def radix_conv_supported(m: int, dtype) -> bool:
+    if np.dtype(dtype) != np.complex64:
+        return False
+    return choose_rpq(m) is not None
+
+
+def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
+            conj_out, has_post, xr_ref, xi_ref, wp_hi_ref, wp_lo_ref,
+            wq_hi_ref, wq_lo_ref, t1r_ref, t1i_ref, t2r_ref, t2i_ref,
+            prer_ref, prei_ref, hr_ref, hi_ref, postr_ref, posti_ref,
+            or_ref, oi_ref):
+    """One batch tile: (tb*p_in, r*q) natural -> (tb*q, r*p) natural, with
+    optional elementwise prologue (pre) and epilogues (conj(.H) / conj /
+    post) around the vpur FFT body (fused._fused_kernel_vpur derivation).
+    """
+    m1 = r * p
+    xr = xr_ref[:].reshape(tb, p_in, r * q)
+    xi = xi_ref[:].reshape(tb, p_in, r * q)
+
+    if has_pre:
+        pr = prer_ref[:]  # (p_in, r*q) natural [j1, a*q + j2]
+        pi = prei_ref[:]
+        vr = xr * pr - xi * pi
+        vi = xr * pi + xi * pr
+    else:
+        vr, vi = xr, xi
+
+    # stage A: DFT_p over the sublane b axis; wpa column-sliced to the live
+    # rows (2p, 2p_in) — K = 2*p_in (conv.py's boundary-stage trim)
+    xb = jnp.concatenate([vr, vi], axis=1)  # (tb, 2p_in, r*q)
+    a = contract_rhs(
+        xb, wp_hi_ref[:], wp_lo_ref[:], (((1,), (1,)), ((), ())), precision
+    )  # (tb, r*q, 2p) [a*q + j2, d]
+    a = a.reshape(tb, r, q, 2 * p)
+    sr, si = a[..., :p], a[..., p:]
+
+    # twiddle w_{rp}^{a*d}, table (r, p)
+    t1r = t1r_ref[:].reshape(1, r, 1, p)
+    t1i = t1i_ref[:].reshape(1, r, 1, p)
+    br = sr * t1r - si * t1i
+    bi = sr * t1i + si * t1r
+
+    # radix-r chain over the a axis (VPU)
+    cr_l, ci_l = _vpu_fft_list(
+        [br[:, j] for j in range(r)], [bi[:, j] for j in range(r)], direction
+    )
+    cr = jnp.stack(cr_l, axis=1)  # (tb, r, q, p) [c, j2, d]
+    ci = jnp.stack(ci_l, axis=1)
+
+    # four-step twiddle w_m^(k1*j2), k1 = c*p + d; table (r*q, p)
+    t2r = t2r_ref[:].reshape(r, q, p)
+    t2i = t2i_ref[:].reshape(r, q, p)
+    dr = cr * t2r - ci * t2i
+    di = cr * t2i + ci * t2r
+
+    # stage B: DFT_q over j2
+    db = jnp.concatenate([dr, di], axis=2)  # (tb, r, 2q, p)
+    e = contract_rhs(
+        db, wq_hi_ref[:], wq_lo_ref[:], (((2,), (1,)), ((), ())), precision
+    )  # (tb, r, p, 2q) [c, d, k2]
+    er, ei = e[..., :q], e[..., q:]
+
+    # natural order k = k2*m1 + c*p + d: per-c lane transposes, lane concat
+    outs_r = [jnp.swapaxes(er[:, c], -1, -2) for c in range(r)]  # (tb, q, p)
+    outs_i = [jnp.swapaxes(ei[:, c], -1, -2) for c in range(r)]
+    yr = jnp.concatenate(outs_r, axis=-1)  # (tb, q, r*p) natural [k2, k1]
+    yi = jnp.concatenate(outs_i, axis=-1)
+
+    if has_h:
+        # z = conj(Y * H), H natural-order (q, r*p)
+        hr = hr_ref[:]
+        hi = hi_ref[:]
+        zr = yr * hr - yi * hi
+        zi = -(yr * hi + yi * hr)
+    else:
+        zr, zi = yr, yi
+        if conj_out:
+            zi = -zi
+    if has_post:
+        postr = postr_ref[:]  # (q, r*p) natural (zero beyond n_out)
+        posti = posti_ref[:]
+        outr = zr * postr - zi * posti
+        outi = zr * posti + zi * postr
+    else:
+        outr, outi = zr, zi
+    or_ref[:] = outr.reshape(tb * q, m1)
+    oi_ref[:] = outi.reshape(tb * q, m1)
+
+
+def _make_pass(
+    m, r, p, q, direction, precision, interpret, p_in, pre, h, conj_out, post,
+):
+    """Build one vpur conv pass: fn(xr, xi) on (batch, p_in*r*q) 2D input,
+    returning (batch*q, r*p) natural-order arrays."""
+    rdt = np.float32
+    m1 = r * p
+
+    wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)
+    live = list(range(p_in)) + list(range(p, p + p_in))
+    wpa = np.ascontiguousarray(wp[:, live])  # (2p, 2p_in)
+    wq = calg.block_mid(twiddles.dft_matrix(q, direction), rdt)
+    wp_hi, wp_lo = w_split(wpa, precision)
+    wq_hi, wq_lo = w_split(wq, precision)
+    t1 = twiddles.twiddle_table(r, p, direction)  # (r, p)
+    t2 = twiddles.twiddle_table(m1, q, direction)  # (m1, q)
+    t2 = np.swapaxes(t2.reshape(r, p, q), 1, 2).reshape(r * q, p)
+
+    def tab(a, rows, cols):
+        """Natural-order complex table as f32 (rows, cols) r/i pair."""
+        full = np.zeros(rows * cols, np.complex128)
+        if a is not None:
+            full[: min(len(a), rows * cols)] = np.asarray(a)[: rows * cols]
+        t = full.reshape(rows, cols)
+        return (
+            np.ascontiguousarray(t.real).astype(rdt),
+            np.ascontiguousarray(t.imag).astype(rdt),
+        )
+
+    has_pre = pre is not None
+    has_h = h is not None
+    has_post = post is not None
+    dummy = (np.zeros((1, 1), rdt), np.zeros((1, 1), rdt))
+    pre_t = tab(pre, p_in, r * q) if has_pre else dummy
+    h_t = tab(h, q, m1) if has_h else dummy
+    post_t = tab(post, q, m1) if has_post else dummy
+
+    consts = [
+        wp_hi, wp_lo, wq_hi, wq_lo,
+        np.ascontiguousarray(t1.real).astype(rdt),
+        np.ascontiguousarray(t1.imag).astype(rdt),
+        np.ascontiguousarray(t2.real).astype(rdt),
+        np.ascontiguousarray(t2.imag).astype(rdt),
+        *pre_t, *h_t, *post_t,
+    ]
+
+    def _tb(batch):
+        # fused.make_fused_radix_fn's measured rule (small tiles pipeline
+        # best), with the extra natural-order tables charged to the budget
+        copies = 24 + 3 * r.bit_length()
+        budget = max(config.pallas_vmem_limit, 112 * 2**20) - 12 * m
+        budget -= sum(4 * c.size for c in consts[8:])
+        tb = max(1, budget // (copies * 4 * m))
+        tb = 1 << (tb.bit_length() - 1)
+        return max(1, min(tb, 8, batch))
+
+    def call(xr, xi):
+        batch = xr.shape[0]
+        tb = _tb(batch)
+        pad_b = (-batch) % tb
+        if pad_b:
+            xr = jnp.pad(xr, ((0, pad_b), (0, 0)))
+            xi = jnp.pad(xi, ((0, pad_b), (0, 0)))
+        bpad = batch + pad_b
+        k = functools.partial(
+            _kernel, r, p, q, tb, p_in, precision, direction, has_pre,
+            has_h, conj_out, has_post,
+        )
+        in_bspec = pl.BlockSpec(
+            (tb * p_in, r * q), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM
+        )
+        out_bspec = pl.BlockSpec(
+            (tb * q, m1), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM
+        )
+
+        def cspec(w):
+            return pl.BlockSpec(
+                w.shape, i32map(lambda i: (0, 0)), memory_space=pltpu.VMEM
+            )
+
+        out_r, out_i = pl.pallas_call(
+            k,
+            grid=(bpad // tb,),
+            in_specs=[in_bspec, in_bspec] + [cspec(w) for w in consts],
+            out_specs=[out_bspec, out_bspec],
+            out_shape=[jax.ShapeDtypeStruct((bpad * q, m1), jnp.float32)] * 2,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=max(config.pallas_vmem_limit, 112 * 2**20)
+            ),
+            interpret=interpret,
+        )(
+            xr.reshape(bpad * p_in, r * q),
+            xi.reshape(bpad * p_in, r * q),
+            *[jnp.asarray(w) for w in consts],
+        )
+        return (
+            out_r.reshape(bpad, m)[:batch],
+            out_i.reshape(bpad, m)[:batch],
+        )
+
+    return call
+
+
+def make_radix_conv_fn(
+    m: int,
+    direction: FftDirection,
+    dtype,
+    h: np.ndarray,
+    pre: Optional[np.ndarray] = None,
+    post: Optional[np.ndarray] = None,
+    conj_out: bool = False,
+    n_in: Optional[int] = None,
+    n_out: Optional[int] = None,
+    interpret: bool = False,
+    precision=None,
+) -> Callable:
+    """Build fn: Cplx (..., n_in) -> Cplx (..., n_out) computing
+
+        out = [post *] maybe_conj( FFT_m( conj( FFT_m([pre *] zeropad(x)) * H ) ) )
+
+    with the same contract as conv.make_conv_fn, for m = r*128*128.
+    """
+    assert np.dtype(dtype) == np.complex64
+    rpq = choose_rpq(m)
+    assert rpq is not None, f"no radix conv split for m={m}"
+    r, p, q = rpq
+    n_in = n_in or m
+    n_out = n_out or m
+    precision = resolve_precision(precision, interpret)
+
+    # live input row-groups: j < n_in covers b < ceil(n_in / (r*q))
+    p_in = -(-n_in // (r * q))
+    # zero-pad mask folded into the pre table when the trim is partial
+    eff_pre = pre
+    if eff_pre is None and n_in < p_in * (r * q):
+        eff_pre = np.ones(n_in, np.complex128)
+
+    pass1 = _make_pass(
+        m, r, p, q, direction, precision, interpret,
+        p_in=p_in, pre=eff_pre, h=h, conj_out=False, post=None,
+    )
+    pass2 = _make_pass(
+        m, r, p, q, direction, precision, interpret,
+        p_in=p, pre=None, h=None, conj_out=conj_out, post=post,
+    )
+
+    def apply(x):
+        xr, xi = x
+        shape = xr.shape
+        flat_r = xr.reshape(-1, shape[-1])
+        flat_i = xi.reshape(-1, shape[-1])
+        if shape[-1] < p_in * r * q:
+            pad = p_in * r * q - shape[-1]
+            flat_r = jnp.pad(flat_r, ((0, 0), (0, pad)))
+            flat_i = jnp.pad(flat_i, ((0, 0), (0, pad)))
+        zr, zi = pass1(flat_r, flat_i)
+        out_r, out_i = pass2(zr, zi)
+        return (
+            out_r[:, :n_out].reshape(shape[:-1] + (n_out,)),
+            out_i[:, :n_out].reshape(shape[:-1] + (n_out,)),
+        )
+
+    return apply

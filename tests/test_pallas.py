@@ -499,3 +499,47 @@ def test_large3_split_chooser():
         assert p1 % 128 == 0 and p2 in (2, 4, 8, 16, 32), (n, sp)
     assert large3.choose_split3(3 << 22) is None  # non-pow2 P2
     assert not large3.large3_supported(1 << 23, np.complex128)
+
+
+def test_radix_conv_bluestein_matches_oracle():
+    """Two-kernel radix-structured conv core (ops/pallas/conv_radix.py):
+    whole Bluestein pipeline at an r*128*128 inner, interpret mode."""
+    from rustfft_tpu.ops import bluestein as op_bluestein
+    from rustfft_tpu.ops.pallas import conv_radix
+
+    n, m = 15000, 32768
+    assert conv_radix.radix_conv_supported(m, np.complex64)
+    chirp, h_fft = op_bluestein.bluestein_tables(n, m, FftDirection.FORWARD)
+    fn = conv_radix.make_radix_conv_fn(
+        m, FftDirection.FORWARD, np.complex64, h=h_fft, pre=chirp,
+        post=chirp, conj_out=True, n_in=n, n_out=n, interpret=True,
+    )
+    sig = random_signal(2 * n, dtype=np.complex64, seed=11).reshape(2, n)
+    o_r, o_i = fn((sig.real, sig.imag))
+    assert o_r.shape == (2, n)
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    err = mean_element_error(out, oracle_dft(sig, FftDirection.FORWARD))
+    assert err < 1e-2, err
+
+
+def test_radix_conv_rader_65537(monkeypatch):
+    """Rader at the headline prime routes through the radix conv core when
+    the threshold admits its inner (65536 = 4*128*128)."""
+    monkeypatch.setattr(config, "conv_radix_min_m", 32768)
+    from rustfft_tpu.ops.pallas import conv
+
+    p = 65537
+    fn = conv.make_raders_fn(p, FftDirection.INVERSE, np.complex64,
+                             interpret=True)
+    sig = random_signal(p, dtype=np.complex64, seed=3).reshape(1, p)
+    o_r, o_i = fn((sig.real, sig.imag))
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    err = mean_element_error(out, oracle_dft(sig, FftDirection.INVERSE))
+    assert err < 1e-2, err
+
+
+def test_radix_conv_unsupported():
+    from rustfft_tpu.ops.pallas import conv_radix
+
+    assert not conv_radix.radix_conv_supported(2048, np.complex64)
+    assert not conv_radix.radix_conv_supported(65536, np.complex128)
