@@ -80,6 +80,11 @@ class FftConfig:
     #: round-trip.
     conv_radix_min_m: int = 65536
 
+    #: Rader permutation gather strategy: "lane" (plain last-axis
+    #: jnp.take) or "row" (transpose so the gather rides the major axis —
+    #: contiguous batch-length rows per index — then transpose back).
+    rader_gather: str = "lane"
+
     #: MXU precision inside Pallas kernels.  "bf16x3" = manual 3-pass bf16
     #: emulation (f32-grade accuracy at half the passes of HIGHEST, which
     #: Mosaic would otherwise use; Mosaic rejects Precision.HIGH).

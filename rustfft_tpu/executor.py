@@ -189,7 +189,7 @@ def build(
         config.pallas_min_n, config.lanepack_max_n, config.three_stage_min_n,
         config.large_min_n, config.use_radix_fused, config.pallas_precision,
         config.pallas_vmem_limit, config.matmul_precision,
-        config.conv_radix_min_m,
+        config.conv_radix_min_m, config.rader_gather,
     )
     fn = _CACHE.get(key)
     if fn is None:

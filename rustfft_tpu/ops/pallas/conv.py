@@ -263,9 +263,24 @@ def make_raders_fn(
     perm_in32 = perm_in.astype(np.int32)
     inv_gather32 = inv_gather.astype(np.int32)
 
+    def gather_last(v, idx):
+        """v[..., idx] with a strategy switch (config.rader_gather).
+
+        'lane' = plain last-axis take.  'row' = transpose so the gather
+        rides the MAJOR axis (each gathered row is a contiguous
+        batch-length run — DMA-friendly on TPU, where last-axis gathers
+        shuffle single lanes) and transpose back; the transposes are
+        2 extra HBM traversals, a win when the lane gather runs far below
+        stream rate (measured candidate for m = 65536).
+        """
+        if config.rader_gather == "row" and v.ndim == 2:
+            return jnp.take(v.T, idx, axis=0).T
+        return jnp.take(v, idx, axis=-1)
+
     def apply(x):
         xr, xi = x
-        a = calg.take(x, jnp.asarray(perm_in32), axis=-1)
+        idx_in = jnp.asarray(perm_in32)
+        a = (gather_last(xr, idx_in), gather_last(xi, idx_in))
         dr, di = core(a)
         # out[0] = x[0] + A[0] = sum(x)  (A[0] = sum over permuted inputs)
         out0 = (
@@ -273,8 +288,9 @@ def make_raders_fn(
             jnp.sum(xi, axis=-1, keepdims=True),
         )
         # rest[t] = conj(D[inv] + conj(x0)) = conj(D[inv]) + x0
-        gr = jnp.take(dr, jnp.asarray(inv_gather32), axis=-1)
-        gi = jnp.take(di, jnp.asarray(inv_gather32), axis=-1)
+        idx_out = jnp.asarray(inv_gather32)
+        gr = gather_last(dr, idx_out)
+        gi = gather_last(di, idx_out)
         rest = (gr + xr[..., :1], -gi + xi[..., :1])
         return calg.concat_last(out0, rest)
 

@@ -120,3 +120,19 @@ def test_distributed_fft_c128(devices8):
     out = _join(fn(_pair(x)))
     err = mean_element_error(out, oracle_dft(x, FftDirection.FORWARD))
     assert err < 1e-8, err
+
+
+def test_distributed_fft_large_local_recipes(devices8):
+    """Flagship-like shape scaled down (VERDICT r2 #7): n = 2^16 over the
+    (4, 2) mesh with the batch axis sharded simultaneously — each device's
+    local FFTs go through NONTRIVIAL planner recipes, and the three
+    all_to_all transposes run at a realistic (w, h) split.  Oracle = numpy
+    pocketfft (the O(n^2) dft oracle is too slow at this n)."""
+    mesh = make_mesh((4, 2), ("data", "fft"), devices8)
+    n = 1 << 16
+    fn = make_distributed_fft(n, FftDirection.FORWARD, np.complex64, mesh)
+    x = random_signal(8 * n, seed=13).reshape(8, n)
+    out = _join(fn(_pair(x)))
+    want = np.fft.fft(x, axis=-1)
+    err = np.mean(np.abs(out - want)) / np.mean(np.abs(want))
+    assert err < 1e-4, err
