@@ -128,11 +128,17 @@ def bench_matmul(dim: int = 4096, iters: int = 8):
                 v, w, preferred_element_type=jnp.float32
             ).astype(jnp.bfloat16)
 
-        return jax.lax.fori_loop(0, iters, body, v)[0, 0].astype(jnp.float32)
+        # full-matrix readback: a [0,0] scalar readback lets XLA propagate
+        # the slice back through the chain (each iteration collapses to one
+        # row — measured 14 PFLOP/s, i.e. nonsense); the sum forces every
+        # element of every iteration
+        return jnp.sum(
+            jax.lax.fori_loop(0, iters, body, v).astype(jnp.float32)
+        )
 
     @jax.jit
     def nothing(v):
-        return v[0, 0].astype(jnp.float32)
+        return jnp.sum(v.astype(jnp.float32))
 
     float(many(v))
     float(nothing(v))

@@ -76,7 +76,6 @@ def _conv_core_fn(m, direction, dtype, **kw):
         m >= config.conv_radix_min_m
         and conv_radix.radix_conv_supported(m, dtype)
     ):
-        kw.pop("batch_tile", None)  # radix core sizes its own tiles
         return conv_radix.make_radix_conv_fn(m, direction, dtype, **kw)
     return make_conv_fn(m, direction, dtype, **kw)
 
@@ -110,7 +109,10 @@ def _pick_batch_tile(
     per_row = 4 * (4 * p_in * q + 16 * m + 4 * p_out * q)
     tb = max(1, budget // per_row)
     tb = 1 << (tb.bit_length() - 1)
-    return max(1, min(tb, 128, batch))
+    # cap raised 128 -> 256 after the r3 clean-run sweep: at 1009 (m=2048)
+    # tb=256 measured +10% over 128 (2.60 vs 2.87 ms); 512 fails the
+    # compile (VMEM) and the budget bound rejects it anyway
+    return max(1, min(tb, 256, batch))
 
 
 def _kernel(p, q, tb, p_in, p_out, precision, conj_out, has_pre, has_post,

@@ -141,6 +141,7 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
 
 def _make_pass(
     m, r, p, q, direction, precision, interpret, p_in, pre, h, conj_out, post,
+    batch_tile=None,
 ):
     """Build one vpur conv pass: fn(xr, xi) on (batch, p_in*r*q) 2D input,
     returning (batch*q, r*p) natural-order arrays."""
@@ -186,6 +187,8 @@ def _make_pass(
     ]
 
     def _tb(batch):
+        if batch_tile:
+            return min(batch_tile, batch)
         # fused.make_fused_radix_fn's measured rule (small tiles pipeline
         # best), with the extra natural-order tables charged to the budget
         copies = 24 + 3 * r.bit_length()
@@ -193,7 +196,8 @@ def _make_pass(
         budget -= sum(4 * c.size for c in consts[8:])
         tb = max(1, budget // (copies * 4 * m))
         tb = 1 << (tb.bit_length() - 1)
-        return max(1, min(tb, 8, batch))
+        # measured at m=65536 (same run): tb=16 (3.94ms) > 8 (4.05) > 4 > 2
+        return max(1, min(tb, 16, batch))
 
     def call(xr, xi):
         batch = xr.shape[0]
@@ -254,6 +258,7 @@ def make_radix_conv_fn(
     n_out: Optional[int] = None,
     interpret: bool = False,
     precision=None,
+    batch_tile=None,
 ) -> Callable:
     """Build fn: Cplx (..., n_in) -> Cplx (..., n_out) computing
 
@@ -269,8 +274,12 @@ def make_radix_conv_fn(
     n_out = n_out or m
     precision = resolve_precision(precision, interpret)
 
-    # live input row-groups: j < n_in covers b < ceil(n_in / (r*q))
+    # live input row-groups: j < n_in covers b < ceil(n_in / (r*q)),
+    # rounded up to a multiple of 8 so the (tb*p_in, r*q) input block keeps
+    # a legal sublane extent for every tb (Mosaic rejected p_in = 33 at
+    # m = 262144 on v5e)
     p_in = -(-n_in // (r * q))
+    p_in = min(p, -(-p_in // 8) * 8)
     # zero-pad mask folded into the pre table when the trim is partial
     eff_pre = pre
     if eff_pre is None and n_in < p_in * (r * q):
@@ -279,10 +288,12 @@ def make_radix_conv_fn(
     pass1 = _make_pass(
         m, r, p, q, direction, precision, interpret,
         p_in=p_in, pre=eff_pre, h=h, conj_out=False, post=None,
+        batch_tile=batch_tile,
     )
     pass2 = _make_pass(
         m, r, p, q, direction, precision, interpret,
         p_in=p, pre=None, h=None, conj_out=conj_out, post=post,
+        batch_tile=batch_tile,
     )
 
     def apply(x):

@@ -21,11 +21,12 @@ at pipeline speeds instead of falling back to the ~6-pass XLA six-step:
       [k2, j3, k1].
   pass 3 (kernel Q, kernel-B structure): per (k2, P1-tile, batch) block
       (1, 1, Q, pt) FFT the sublane j3 axis with the two-stage q1 x q2
-      weights-as-lhs scheme of large._kernel_b; the OUTPUT BlockSpec
-      scatters each (Q, pt) result into (B, Q, P2, P1) at [k3, k2, k1] —
-      the final natural order, so the middle-axes transpose that would
+      scheme of large._kernel_b; the OUTPUT BlockSpec writes each (Q, pt)
+      result into (B, Q, P2*P1) at lane offset k2*P1 + pi*pt — the final
+      natural order [k3, k2, k1], so the middle-axes transpose that would
       otherwise cost a 7th/8th HBM traversal is absorbed into block
-      placement.
+      placement.  (A (1, Q, 1, pt) scatter block is NOT an option: Mosaic
+      rejects 1-extent sublane dims, verified on v5e.)
 
 Total HBM traffic: 6 signal traversals (read+write per pass) vs ~12 for
 the XLA six-step; MXU work 24*(P1 + q1 + q2) bf16-flops/point at bf16x3
@@ -64,18 +65,20 @@ def choose_split3(n: int) -> Optional[Tuple[int, int, int, int, int]]:
       P1 % 128 == 0, P1 <= 256 (kernel A: largest P up to 256 wins; 512-lane
       splits fail the Mosaic compile at 2^23);
       P2 a power of two in [2, 32] (VPU radix-2 chain);
-      Q = q1*q2 with q1, q2 <= 256 and the (Q, 128) kernel working set
-      inside the VMEM budget (same bound as large.max_lane_tile).
-    Preference: largest Q (pass 3 amortizes best), then largest P1, then
-    smallest P2 — pass 2 is pure overhead traffic, so the other two passes
-    should carry as much of the decomposition as possible.
+      Q = q1*q2 with q1, q2 <= 256, Q <= 4096 — the Q = 8192 pass-3 kernel
+      FAILS the Mosaic compile (HTTP 500 on v5e) even though large.py's
+      3D-blocked kernel B compiles at that Q; Q = 4096 measured 795 GF/s
+      at 2^23 anyway (the balanced q1 = q2 = 64 stages win).
+    Preference: largest Q, then largest P1, then smallest P2 — pass 2 is
+    pure overhead traffic, so the other two passes should carry as much of
+    the decomposition as possible.
     """
     best = None
     for p1 in (256, 128):
         if n % p1:
             continue
         m = n // p1
-        for q in (8192, 4096, 2048):
+        for q in (4096, 2048):
             if m % q:
                 continue
             p2 = m // q
@@ -134,10 +137,15 @@ def _kernel_p2(p2, qt2, pt, direction, xr_ref, xi_ref, twr_ref, twi_ref,
 
 def _kernel_q(q1, q2, pt, precision, xr_ref, xi_ref, w1_hi_ref, w1_lo_ref,
               w2_hi_ref, w2_lo_ref, twr_ref, twi_ref, or_ref, oi_ref):
-    """(1, 1, Q, pt) [j3, k1] -> (1, Q, 1, pt) [k3, k1] natural order.
+    """(1, 1, Q, pt) [j3, k1] -> (1, Q, pt) [k3, k1] natural order.
 
     large._kernel_b's proven "swap" two-stage scheme (sublane FFT of length
-    Q = q1*q2, lanes untouched), re-blocked for the 4D pass-2/output arrays.
+    Q = q1*q2, lanes untouched).  The input block is 4D (pass-2 array view);
+    the output block is a plain (1, Q, pt) tile of the (B, Q, P2*P1) final
+    array — the k2 digit is encoded in the block's LANE OFFSET by the
+    out-spec index map (k2*(P1/pt) + pi), so the natural-order interleave
+    costs no in-kernel work and no 1-extent sublane blocks (which Mosaic
+    rejects: verified FAIL at (1, Q, 1, pt) on v5e).
     """
     xr = xr_ref[:].reshape(q1, q2, pt)  # [ja, jb, k1]
     xi = xi_ref[:].reshape(q1, q2, pt)
@@ -167,8 +175,8 @@ def _kernel_q(q1, q2, pt, precision, xr_ref, xi_ref, w1_hi_ref, w1_lo_ref,
     dr, di = d[:q2], d[q2:]
 
     # flat kb*q1 + ka = natural order within Q
-    or_ref[:] = dr.reshape(1, q1 * q2, 1, pt)
-    oi_ref[:] = di.reshape(1, q1 * q2, 1, pt)
+    or_ref[:] = dr.reshape(1, q1 * q2, pt)
+    oi_ref[:] = di.reshape(1, q1 * q2, pt)
 
 
 def _pick_qt2(p2: int, q: int, pt: int) -> int:
@@ -298,15 +306,18 @@ def make_large3_fft_fn(
             interpret=interpret,
         )(a_r, a_i, jnp.asarray(twr_m), jnp.asarray(twi_m))
 
-        # ---- pass 3: FFT_Q over j3; output scattered to natural order ----
+        # ---- pass 3: FFT_Q over j3; the k2 digit rides the output
+        # block's lane offset so each (Q, pt) result lands directly at its
+        # natural-order lanes of (B, Q, P2*P1) ----
         in_spec3 = pl.BlockSpec(
             (1, 1, q, pt),
             i32map(lambda c2, pi, b: (b, c2, 0, pi)),
             memory_space=pltpu.VMEM,
         )
+        lanes_per_k2 = p1 // pt
         out_spec3 = pl.BlockSpec(
-            (1, q, 1, pt),
-            i32map(lambda c2, pi, b: (b, 0, c2, pi)),
+            (1, q, pt),
+            i32map(lambda c2, pi, b: (b, 0, c2 * lanes_per_k2 + pi)),
             memory_space=pltpu.VMEM,
         )
         out_r, out_i = pl.pallas_call(
@@ -319,7 +330,7 @@ def make_large3_fft_fn(
             ],
             out_specs=[out_spec3, out_spec3],
             out_shape=[
-                jax.ShapeDtypeStruct((batch, q, p2, p1), jnp.float32)
+                jax.ShapeDtypeStruct((batch, q, p2 * p1), jnp.float32)
             ] * 2,
             compiler_params=cparams,
             interpret=interpret,

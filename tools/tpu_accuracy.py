@@ -62,6 +62,9 @@ def main() -> int:
     ap.add_argument("--sizes", dest="range_spec", default=None,
                     help="e.g. 1..1000 for the full reference sweep")
     ap.add_argument("--tol", type=float, default=0.1)
+    ap.add_argument("--precision", default=None,
+                    help="override config.pallas_precision "
+                         "(bf16x3 | bf16x2 | bf16)")
     args = ap.parse_args()
 
     import jax
@@ -72,6 +75,8 @@ def main() -> int:
     # each size is a fresh XLA compile (~20-40 s on the tunneled chip);
     # persist executables so re-runs and bench.py reuse them
     enable_persistent_compilation_cache()
+    if args.precision:
+        config.pallas_precision = args.precision
 
     dev = jax.devices()[0]
     mode = executor._pallas_mode()
