@@ -64,7 +64,10 @@ def choose_split3(n: int) -> Optional[Tuple[int, int, int, int, int]]:
     Constraints (all measured on v5e unless noted):
       P1 % 128 == 0, P1 <= 256 (kernel A: largest P up to 256 wins; 512-lane
       splits fail the Mosaic compile at 2^23);
-      P2 a power of two in [2, 32] (VPU radix-2 chain);
+      P2 a power of two in [2, 16] (VPU radix-2 chain; P2 = 32 at
+      n = 2^25 fails the remote compile with HTTP 413 — the (M, P1)
+      pass-1 twiddle table is closure-captured into the HLO as a literal
+      and the payload outgrows the compile helper at ~134MB);
       Q = q1*q2 with q1, q2 <= 256, Q <= 4096 — the Q = 8192 pass-3 kernel
       FAILS the Mosaic compile (HTTP 500 on v5e) even though large.py's
       3D-blocked kernel B compiles at that Q; Q = 4096 measured 795 GF/s
@@ -82,7 +85,7 @@ def choose_split3(n: int) -> Optional[Tuple[int, int, int, int, int]]:
             if m % q:
                 continue
             p2 = m // q
-            if p2 < 2 or p2 > 32 or (p2 & (p2 - 1)):
+            if p2 < 2 or p2 > 16 or (p2 & (p2 - 1)):
                 continue
             if _large.max_lane_tile(q) is None:
                 continue

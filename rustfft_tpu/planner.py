@@ -458,7 +458,38 @@ class FftPlannerTpu(_PlannerBase):
             m = self._aligned_conv_inner(length)
             if m is not None:
                 return recipes.Bluesteins(length, self.design_fft_for_len(m))
+            # Huge primes: no single-kernel conv inner exists.  Rader's
+            # inner (n-1) usually has awkward factors and falls to the XLA
+            # six-step; a Bluestein inner from the 2^a*3^b family that lands
+            # on a fused Pallas tier wins despite ~2x the points (measured
+            # on v5e: 746497 via Rader + XLA inner = 70 GF/s, while the
+            # large-pipeline tiers run ~750-840 GF/s at comparable m).
+            from . import executor
+
+            if executor.pallas_route(inner_len_rader, self.dtype) is None:
+                m = self._routed_bluestein_inner(length)
+                if m is not None:
+                    return recipes.Bluesteins(length, self.design_fft_for_len(m))
         return self._reference_prime_recipe(length, raders_factors)
+
+    def _routed_bluestein_inner(self, length: int) -> Optional[int]:
+        """Smallest 2^a*3^b inner m >= 2n-1 served by a fused Pallas tier."""
+        from . import executor
+
+        min_inner = 2 * length - 1
+        candidates = set(_bluestein_inner_candidates(length))
+        p3 = 1
+        while p3 < 2 * min_inner:
+            m = p3
+            while m < min_inner:
+                m *= 2
+            if m < 2 * min_inner:
+                candidates.add(m)
+            p3 *= 3
+        for m in sorted(candidates):
+            if executor.pallas_route(m, self.dtype) is not None:
+                return m
+        return None
 
 
 class FftPlanner(_PlannerBase):

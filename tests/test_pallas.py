@@ -399,8 +399,8 @@ def test_pallas_route_table():
         32768: "radix", 65536: "radix", 131072: "radix", 262144: "radix",
         524288: "large", 1 << 20: "large", 1 << 22: "large",
         # beyond the two-kernel Mosaic ceiling -> three-kernel pipeline
-        1 << 23: "large3", 1 << 24: "large3", 1 << 25: "large3",
-        1 << 26: None,  # P2 > 32 needed at the Q <= 4096 Mosaic cap
+        1 << 23: "large3", 1 << 24: "large3",
+        1 << 25: None,  # P2 > 16 needed at the Q <= 4096 cap (HTTP 413)
         3 << 22: None,  # non-pow2 P2 digit -> XLA path
         100: None,      # below pallas_min_n
     }
@@ -493,11 +493,11 @@ def test_large3_inverse_and_qt2_tiling():
 def test_large3_split_chooser():
     from rustfft_tpu.ops.pallas import large3
 
-    for n in (1 << 23, 1 << 24, 1 << 25):
+    for n in (1 << 23, 1 << 24):
         sp = large3.choose_split3(n)
         p1, p2, q1, q2, q = sp
         assert p1 * p2 * q == n and q1 * q2 == q, (n, sp)
-        assert p1 % 128 == 0 and p2 in (2, 4, 8, 16, 32), (n, sp)
+        assert p1 % 128 == 0 and p2 in (2, 4, 8, 16), (n, sp)
     assert large3.choose_split3(3 << 22) is None  # non-pow2 P2
     assert not large3.large3_supported(1 << 23, np.complex128)
 
