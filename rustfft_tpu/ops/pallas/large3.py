@@ -72,9 +72,10 @@ def choose_split3(n: int) -> Optional[Tuple[int, int, int, int, int]]:
       FAILS the Mosaic compile (HTTP 500 on v5e) even though large.py's
       3D-blocked kernel B compiles at that Q; Q = 4096 measured 795 GF/s
       at 2^23 anyway (the balanced q1 = q2 = 64 stages win).
-    Preference: largest Q, then largest P1, then smallest P2 — pass 2 is
-    pure overhead traffic, so the other two passes should carry as much of
-    the decomposition as possible.
+    Preference: largest Q, then SMALLEST P1 — kernel A's dense contraction
+    costs 24*P1 bf16-flops/point, and P1=128 measured +3% over P1=256 at
+    2^23 same-run (828 vs 803 GF/s); P2 absorbs the difference on the VPU
+    as long as it stays within its <= 16 cap.
     """
     best = None
     for p1 in (256, 128):
@@ -102,7 +103,7 @@ def choose_split3(n: int) -> Optional[Tuple[int, int, int, int, int]]:
             if inner is None:
                 continue
             _, q1, q2 = inner
-            key = (-q, -p1, p2)
+            key = (-q, p1, p2)
             if best is None or key < best[0]:
                 best = (key, p1, p2, q1, q2)
     if best is None:

@@ -63,8 +63,11 @@ def main():
         )
         plan = planner.plan_fft_forward(n)
         route = executor.pallas_route(n, np.complex64) or "xla"
+        # tiny sizes finish under the dispatch-overhead floor at 8 iters;
+        # scale the chain length so each measurement is >= ~2ms of work
+        iters = max(8, min(512, (1 << 24) // (batch * n // 16)))
         try:
-            t = time_fn(plan.raw_fn, re, im)
+            t = time_fn(plan.raw_fn, re, im, iters=iters)
         except Exception as e:  # noqa: BLE001
             print(f"{n:>8} {label:<28} {route:<12} FAILED {e}"[:140], flush=True)
             continue
