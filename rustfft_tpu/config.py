@@ -72,6 +72,14 @@ class FftConfig:
     #: 774/696/467/390 for the two-stage kernel (same run).
     use_radix_fused: bool = True
 
+    #: Smallest transform routed to the three-kernel pipeline
+    #: (ops/pallas/large3.py) when its split exists.  Measured on v5e:
+    #: large3 beats the two-kernel pipeline at 2^22 (813 vs 678 GF/s,
+    #: same run — kernel-B's Q=8192 working set is the 2-kernel
+    #: bottleneck there) and ties at 2^21 (812 vs 796); below that the
+    #: 2-kernel pipeline's 4 traversals win (2^20: 842 vs 723).
+    large3_min_n: int = 1 << 22
+
     #: Smallest Bluestein/Rader inner length m routed to the two-kernel
     #: radix-structured convolution core (ops/pallas/conv_radix.py) instead
     #: of the dense single-kernel core.  Needs m = r*128*128, r a power of

@@ -117,13 +117,15 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
     large_min = config.large_min_n if config.use_radix_fused else min(
         config.large_min_n, 262144
     )
+    # tier 5: the three-kernel pipeline owns the top band — from 2^22 it
+    # beats the two-kernel pipeline (see config.large3_min_n), and beyond
+    # the two-kernel 2^22 ceiling it beats the ~6-pass XLA fallback
+    if n >= max(large_min, config.large3_min_n) and large3.large3_supported(
+        n, dtype
+    ):
+        return "large3"
     if n >= large_min and large.large_supported(n, dtype):
         return "large"
-    # tier 5: beyond the two-kernel pipeline's 2^22 Mosaic/VMEM ceiling the
-    # three-kernel pipeline (3 HBM passes) still beats the ~6-pass XLA
-    # six-step fallback
-    if n >= large_min and large3.large3_supported(n, dtype):
-        return "large3"
 
     if aligned:
         if n >= config.three_stage_min_n and fused.three_stage_supported(n, dtype):
@@ -189,7 +191,7 @@ def build(
         config.pallas_min_n, config.lanepack_max_n, config.three_stage_min_n,
         config.large_min_n, config.use_radix_fused, config.pallas_precision,
         config.pallas_vmem_limit, config.matmul_precision,
-        config.conv_radix_min_m, config.rader_gather,
+        config.conv_radix_min_m, config.rader_gather, config.large3_min_n,
     )
     fn = _CACHE.get(key)
     if fn is None:

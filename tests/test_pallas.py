@@ -397,7 +397,8 @@ def test_pallas_route_table():
         3888: "lanepack", 7776: "lanepack", 537: "lanepack",
         4096: "two_stage", 16384: "two_stage",
         32768: "radix", 65536: "radix", 131072: "radix", 262144: "radix",
-        524288: "large", 1 << 20: "large", 1 << 22: "large",
+        524288: "large", 1 << 20: "large", 1 << 21: "large",
+        1 << 22: "large3",  # 813 vs 678 GF/s over the 2-kernel pipeline
         # beyond the two-kernel Mosaic ceiling -> three-kernel pipeline
         1 << 23: "large3", 1 << 24: "large3",
         1 << 25: None,  # P2 > 16 needed at the Q <= 4096 cap (HTTP 413)
