@@ -80,6 +80,13 @@ class FftConfig:
     #: 2-kernel pipeline's 4 traversals win (2^20: 842 vs 723).
     large3_min_n: int = 1 << 22
 
+    #: Smallest lane-misaligned composite routed to the padded-lane
+    #: pipeline (ops/pallas/largepad.py).  Measured on v5e: wins at 78125
+    #: (324 vs XLA 204 GF/s) but loses below (59049: 212 vs 250, 19683:
+    #: 141 vs 240 — the padded blocks are too small to beat the XLA
+    #: six-step there).
+    largepad_min_n: int = 65536
+
     #: Smallest Bluestein/Rader inner length m routed to the two-kernel
     #: radix-structured convolution core (ops/pallas/conv_radix.py) instead
     #: of the dense single-kernel core.  Needs m = r*128*128, r a power of

@@ -90,7 +90,7 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
         mode = _pallas_mode()
     if mode == "off":
         return None
-    from .ops.pallas import fused, lanepack, large, large3
+    from .ops.pallas import fused, lanepack, large, large3, largepad
 
     if mode == "tpu" and n < config.pallas_min_n:
         return None
@@ -136,6 +136,10 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
         return "two_stage"
     if large.large_supported(n, dtype):
         return "large"
+    # tier 6: lane-misaligned big composites (pow5/3^k, ...) run the
+    # padded-lane pipeline instead of the XLA six-step
+    if n >= config.largepad_min_n and largepad.largepad_supported(n, dtype):
+        return "large_pad"
     return None
 
 
@@ -144,7 +148,7 @@ def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[
     route = pallas_route(n, dtype, mode)
     if route is None:
         return None
-    from .ops.pallas import fused, lanepack, large, large3
+    from .ops.pallas import fused, lanepack, large, large3, largepad
 
     interpret = mode == "interpret"
     builder = {
@@ -152,6 +156,7 @@ def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[
         "radix": fused.make_fused_radix_fn,
         "large": large.make_large_fft_fn,
         "large3": large3.make_large3_fft_fn,
+        "large_pad": largepad.make_largepad_fft_fn,
         "three_stage": fused.make_fused_three_stage_fn,
         "two_stage": fused.make_fused_two_stage_fn,
     }[route]
@@ -192,6 +197,7 @@ def build(
         config.large_min_n, config.use_radix_fused, config.pallas_precision,
         config.pallas_vmem_limit, config.matmul_precision,
         config.conv_radix_min_m, config.rader_gather, config.large3_min_n,
+        config.largepad_min_n,
     )
     fn = _CACHE.get(key)
     if fn is None:

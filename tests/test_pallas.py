@@ -545,3 +545,58 @@ def test_radix_conv_unsupported():
 
     assert not conv_radix.radix_conv_supported(2048, np.complex64)
     assert not conv_radix.radix_conv_supported(65536, np.complex128)
+
+
+def test_largepad_matches_oracle():
+    """Padded-lane pipeline (ops/pallas/largepad.py): lane-misaligned
+    factors with in-kernel zero padding, interpret mode."""
+    from rustfft_tpu.ops.pallas import largepad
+
+    for n, split in ((3125, (25, 25, 5)), (46656, None)):  # 46656 = 6^6
+        sp = split or largepad.choose_pq_padded(n)
+        assert sp is not None, n
+        fn = largepad.make_largepad_fft_fn(
+            n, FftDirection.FORWARD, np.complex64, split=sp, interpret=True
+        )
+        sig = random_signal(2 * n, dtype=np.complex64, seed=n).reshape(2, n)
+        o_r, o_i = fn((sig.real, sig.imag))
+        out = np.asarray(o_r) + 1j * np.asarray(o_i)
+        err = mean_element_error(out, oracle_dft(sig, FftDirection.FORWARD))
+        assert err < 1e-2, (n, err)
+
+
+def test_largepad_inverse():
+    from rustfft_tpu.ops.pallas import largepad
+
+    n = 3125
+    fn = largepad.make_largepad_fft_fn(
+        n, FftDirection.INVERSE, np.complex64, split=(25, 25, 5),
+        interpret=True,
+    )
+    sig = random_signal(n, dtype=np.complex64, seed=4).reshape(1, n)
+    o_r, o_i = fn((sig.real, sig.imag))
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    err = mean_element_error(out, oracle_dft(sig, FftDirection.INVERSE))
+    assert err < 1e-2, err
+
+
+def test_largepad_split_chooser_and_routing():
+    from rustfft_tpu import executor
+    from rustfft_tpu.ops.pallas import largepad
+
+    # good pad ratios accepted; sub-8 inner factors and pathological pad
+    # ratios rejected (measured Mosaic failures / XLA wins)
+    for n in (59049, 78125, 177147, 10000):
+        sp = largepad.choose_pq_padded(n)
+        assert sp is not None, n
+        p, q1, q2 = sp
+        assert p * q1 * q2 == n and min(q1, q2) >= 8, (n, sp)
+    assert largepad.choose_pq_padded(16807) is None  # 2.9x pad -> XLA
+    assert largepad.choose_pq_padded(15625) is None  # only q1=5 splits
+    assert not largepad.largepad_supported(78125, np.complex128)
+    # routing: only ABOVE the measured win boundary (78125 beats XLA 324
+    # vs 204; 59049 and below lose and stay on the XLA path)
+    assert executor.pallas_route(78125, np.complex64, mode="tpu") == "large_pad"
+    assert executor.pallas_route(177147, np.complex64, mode="tpu") == "large_pad"
+    assert executor.pallas_route(59049, np.complex64, mode="tpu") is None
+    assert executor.pallas_route(15625, np.complex64, mode="tpu") is None

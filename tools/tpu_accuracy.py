@@ -36,7 +36,8 @@ SAMPLED_SIZES = [
 ]
 
 SCENARIO_SIZES = [1024, 1234, 2048, 2592, 3888, 4096, 7776, 8192, 16384,
-                  1009, 7919, 65537, 65536, 1 << 20, 1 << 23, 746497]
+                  1009, 7919, 65537, 65536, 1 << 20, 1 << 23, 746497,
+                  78125]
 
 
 def check_size(planner, n: int, direction, batch: int = 4, dtype=np.complex64):
