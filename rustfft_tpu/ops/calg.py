@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,6 +68,17 @@ def cadd(a: Cplx, b: Cplx) -> Cplx:
 
 
 def take(a: Cplx, idx, axis: int = -1) -> Cplx:
+    """Gather a pair along an axis.
+
+    Strategy switch (config.rader_gather): "packed" re-interleaves the pair
+    as one complex64 array so the gather moves 8-byte elements — half the
+    random-access transactions of two 4-byte gathers (measured ~10% faster
+    at (512, 65536) on v5e: 2.64 vs 2.94 ms).  f32 pairs only; the TPU
+    runtime has no complex128, so f64 pairs always take the two-gather path.
+    """
+    if config.rader_gather == "packed" and a[0].dtype == jnp.float32:
+        g = jnp.take(jax.lax.complex(a[0], a[1]), idx, axis=axis)
+        return jnp.real(g), jnp.imag(g)
     return jnp.take(a[0], idx, axis=axis), jnp.take(a[1], idx, axis=axis)
 
 

@@ -266,33 +266,30 @@ def make_raders_fn(
     inv_gather32 = inv_gather.astype(np.int32)
 
     def gather_last(v, idx):
-        """v[..., idx] with a strategy switch (config.rader_gather).
+        """Pair gather v[..., idx] with a strategy switch (config.rader_gather).
 
-        'lane' = plain last-axis take.  'row' = transpose so the gather
-        rides the MAJOR axis (each gathered row is a contiguous
-        batch-length run — DMA-friendly on TPU, where last-axis gathers
-        shuffle single lanes) and transpose back; the transposes are
-        2 extra HBM traversals, a win when the lane gather runs far below
-        stream rate (measured candidate for m = 65536).
+        'packed' (default; see calg.take) = one complex64 gather moving
+        8-byte elements.  'lane' = plain last-axis takes.  'row' = transpose
+        so the gather rides the MAJOR axis (each gathered row is a contiguous
+        batch-length run) and transpose back — measured NO better (XLA
+        canonicalizes the transpose pair away; documented negative).
         """
-        if config.rader_gather == "row" and v.ndim == 2:
-            return jnp.take(v.T, idx, axis=0).T
-        return jnp.take(v, idx, axis=-1)
+        if config.rader_gather == "row" and v[0].ndim == 2:
+            return (jnp.take(v[0].T, idx, axis=0).T,
+                    jnp.take(v[1].T, idx, axis=0).T)
+        return calg.take(v, idx, axis=-1)
 
     def apply(x):
         xr, xi = x
-        idx_in = jnp.asarray(perm_in32)
-        a = (gather_last(xr, idx_in), gather_last(xi, idx_in))
-        dr, di = core(a)
+        a = gather_last(x, jnp.asarray(perm_in32))
+        d = core(a)
         # out[0] = x[0] + A[0] = sum(x)  (A[0] = sum over permuted inputs)
         out0 = (
             jnp.sum(xr, axis=-1, keepdims=True),
             jnp.sum(xi, axis=-1, keepdims=True),
         )
         # rest[t] = conj(D[inv] + conj(x0)) = conj(D[inv]) + x0
-        idx_out = jnp.asarray(inv_gather32)
-        gr = gather_last(dr, idx_out)
-        gi = gather_last(di, idx_out)
+        gr, gi = gather_last(d, jnp.asarray(inv_gather32))
         rest = (gr + xr[..., :1], -gi + xi[..., :1])
         return calg.concat_last(out0, rest)
 
