@@ -242,8 +242,9 @@ def main():
         (65536, 1024),
         (1 << 20, 64),
         (1 << 22, 16),
-        (1 << 23, 8),  # 3-kernel pipeline tier (reference benches to 2^24)
+        (1 << 23, 8),  # fused 2-kernel tier (reference benches to 2^24)
         (1 << 24, 4),
+        (1 << 25, 2),  # beyond the reference's bench envelope (large2f)
         (1234, 8192),  # BASELINE config 1 (planner path, non-pow2)
         (1009, 8192),  # BASELINE config 3 (Rader prime)
         (65537, 512),  # BASELINE config 3 (largest prime; Rader inner 2^16)

@@ -72,6 +72,15 @@ class FftConfig:
     #: 774/696/467/390 for the two-stage kernel (same run).
     use_radix_fused: bool = True
 
+    #: Smallest transform routed to the FUSED two-kernel pipeline
+    #: (ops/pallas/large2f.py): large3's pass 2 fused into the column
+    #: stage, 4 HBM traversals, factorized twiddle tables.  Measured on
+    #: v5e (same run): beats large3 at 2^22 (791 vs 667), 2^23 (835 vs
+    #: 689), 2^24 (858 vs 688), and runs 2^25 at 882 (large3 can't
+    #: compile there); ties large2 at 2^21 (654 vs 640 — only the
+    #: Q=2048 split exists), where the 2-kernel pipeline stays.
+    large2f_min_n: int = 1 << 22
+
     #: Smallest transform routed to the three-kernel pipeline
     #: (ops/pallas/large3.py) when its split exists.  Measured on v5e:
     #: large3 beats the two-kernel pipeline at 2^22 (813 vs 678 GF/s,

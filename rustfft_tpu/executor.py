@@ -78,8 +78,12 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
       'radix'       radix-r fused (MXU 128x128 stages + VPU radix chain):
                     the 32k..262k band.
       'large'       two-kernel pipeline (ops/pallas/large.py): beyond VMEM.
-      'large3'      three-kernel pipeline (ops/pallas/large3.py): beyond the
-                    two-kernel ceiling of 2^22, up to 2^26.
+      'large2f'     FUSED two-kernel pipeline (ops/pallas/large2f.py): the
+                    top pow2 band 2^22..2^25 — 4 HBM traversals with
+                    large3's digit plan (pass 2 fused into the column
+                    stage, factorized twiddle tables).
+      'large3'      three-kernel pipeline (ops/pallas/large3.py): fallback
+                    for the top band when large2f is disabled/unsupported.
       'three_stage' / 'two_stage'  single-pass fused kernels (fused.py) for
                     lane-aligned mid sizes.
 
@@ -90,7 +94,7 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
         mode = _pallas_mode()
     if mode == "off":
         return None
-    from .ops.pallas import fused, lanepack, large, large3, largepad
+    from .ops.pallas import fused, lanepack, large, large2f, large3, largepad
 
     if mode == "tpu" and n < config.pallas_min_n:
         return None
@@ -117,9 +121,13 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
     large_min = config.large_min_n if config.use_radix_fused else min(
         config.large_min_n, 262144
     )
-    # tier 5: the three-kernel pipeline owns the top band — from 2^22 it
-    # beats the two-kernel pipeline (see config.large3_min_n), and beyond
-    # the two-kernel 2^22 ceiling it beats the ~6-pass XLA fallback
+    # tier 5: the fused two-kernel pipeline owns the top band — 4 HBM
+    # traversals beat large3's 6 at every supported size (see
+    # config.large2f_min_n); large3 stays as the fallback
+    if n >= max(
+        large_min, config.large2f_min_n
+    ) and large2f.large2f_supported(n, dtype):
+        return "large2f"
     if n >= max(large_min, config.large3_min_n) and large3.large3_supported(
         n, dtype
     ):
@@ -148,13 +156,14 @@ def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[
     route = pallas_route(n, dtype, mode)
     if route is None:
         return None
-    from .ops.pallas import fused, lanepack, large, large3, largepad
+    from .ops.pallas import fused, lanepack, large, large2f, large3, largepad
 
     interpret = mode == "interpret"
     builder = {
         "lanepack": lanepack.make_lanepack_fn,
         "radix": fused.make_fused_radix_fn,
         "large": large.make_large_fft_fn,
+        "large2f": large2f.make_large2f_fft_fn,
         "large3": large3.make_large3_fft_fn,
         "large_pad": largepad.make_largepad_fft_fn,
         "three_stage": fused.make_fused_three_stage_fn,
@@ -197,7 +206,7 @@ def build(
         config.large_min_n, config.use_radix_fused, config.pallas_precision,
         config.pallas_vmem_limit, config.matmul_precision,
         config.conv_radix_min_m, config.rader_gather, config.large3_min_n,
-        config.largepad_min_n,
+        config.largepad_min_n, config.large2f_min_n,
     )
     fn = _CACHE.get(key)
     if fn is None:

@@ -398,10 +398,11 @@ def test_pallas_route_table():
         4096: "two_stage", 16384: "two_stage",
         32768: "radix", 65536: "radix", 131072: "radix", 262144: "radix",
         524288: "large", 1 << 20: "large", 1 << 21: "large",
-        1 << 22: "large3",  # 813 vs 678 GF/s over the 2-kernel pipeline
-        # beyond the two-kernel Mosaic ceiling -> three-kernel pipeline
-        1 << 23: "large3", 1 << 24: "large3",
-        1 << 25: None,  # P2 > 16 needed at the Q <= 4096 cap (HTTP 413)
+        # fused two-kernel pipeline: 4 HBM traversals beat large3's 6 at
+        # every supported size (791/835/858/882 vs 667/689/688/- same-run)
+        1 << 22: "large2f", 1 << 23: "large2f", 1 << 24: "large2f",
+        1 << 25: "large2f",
+        1 << 26: None,  # P1=256, P2=64 pass-1 block exceeds VMEM
         3 << 22: None,  # non-pow2 P2 digit -> XLA path
         100: None,      # below pallas_min_n
     }
@@ -501,6 +502,47 @@ def test_large3_split_chooser():
         assert p1 % 128 == 0 and p2 in (2, 4, 8, 16), (n, sp)
     assert large3.choose_split3(3 << 22) is None  # non-pow2 P2
     assert not large3.large3_supported(1 << 23, np.complex128)
+
+
+def test_large2f_matches_oracle():
+    """Fused two-kernel pipeline (interpret mode, scaled-down splits): the
+    fused column stage (DFT_P1 + factorized twiddles + j2 VPU chain) must
+    chain into kernel Q and land natural order, both directions."""
+    from rustfft_tpu.ops.pallas import large2f
+
+    for split, batch, direction in (
+        ((8, 2, 4, 4, 16), 3, FftDirection.FORWARD),
+        ((8, 4, 4, 4, 16), 2, FftDirection.FORWARD),
+        ((8, 2, 4, 4, 16), 2, FftDirection.INVERSE),
+    ):
+        p1, p2, q1, q2, q = split
+        n = p1 * p2 * q
+        fn = large2f.make_large2f_fft_fn(
+            n, direction, np.complex64, split=split, interpret=True,
+            pt=8, qt3=16,
+        )
+        sig = random_signal(batch * n, dtype=np.complex64, seed=n).reshape(
+            batch, n
+        )
+        re, im = calg.from_numpy(sig, np.float32)
+        out_r, out_i = fn((re, im))
+        out = np.asarray(out_r) + 1j * np.asarray(out_i)
+        err = mean_element_error(out, oracle_dft(sig, direction))
+        assert err < 1e-2, (split, direction, err)
+
+
+def test_large2f_split_chooser():
+    from rustfft_tpu.ops.pallas import large2f
+
+    for lg in (22, 23, 24, 25):
+        sp = large2f.choose_split2f(1 << lg)
+        p1, p2, q1, q2, q = sp
+        assert p1 * p2 * q == (1 << lg) and q1 * q2 == q, (lg, sp)
+        assert p1 in (128, 256) and 8 <= p2 <= 64, (lg, sp)
+        assert q in (2048, 4096), (lg, sp)
+    assert large2f.choose_split2f(3 << 22) is None  # non-pow2 P2
+    assert not large2f.large2f_supported(1 << 23, np.complex128)
+    assert not large2f.large2f_supported(1 << 27, np.complex64)
 
 
 def test_radix_conv_bluestein_matches_oracle():
