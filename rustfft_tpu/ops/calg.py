@@ -75,6 +75,8 @@ def take(a: Cplx, idx, axis: int = -1) -> Cplx:
     random-access transactions of two 4-byte gathers (measured ~10% faster
     at (512, 65536) on v5e: 2.64 vs 2.94 ms).  f32 pairs only; the TPU
     runtime has no complex128, so f64 pairs always take the two-gather path.
+    NOT the default: the tunneled backend currently rejects all complex64
+    compute (see config.rader_gather) — opt in only where complex works.
     """
     if config.rader_gather == "packed" and a[0].dtype == jnp.float32:
         g = jnp.take(jax.lax.complex(a[0], a[1]), idx, axis=axis)
