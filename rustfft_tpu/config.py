@@ -104,19 +104,22 @@ class FftConfig:
     #: round-trip.
     conv_radix_min_m: int = 65536
 
-    #: Permutation gather strategy (Rader/Good-Thomas maps): "lane" (plain
-    #: last-axis jnp.take per f32 component), "packed" (re-interleave the
-    #: pair as complex64 so each gathered element is 8 bytes — half the
-    #: random-access transactions; measured ~10% faster at (512, 65536) on
-    #: v5e, BUT requires complex64 compute support, which the tunneled
-    #: backend dropped mid-round-3: every complex-dtype op now returns
-    #: UNIMPLEMENTED, so packed would crash every Rader/GT plan.  An
-    #: f64-bitcast repack was measured as a replacement and LOSES (9.3 vs
-    #: 6.7 ms for the take pair — the interleave costs a traversal), so
-    #: "lane" is the default until complex returns), or "row" (transpose so
-    #: the gather rides the major axis then transpose back — measured NO
-    #: better, XLA cancels the transposes; kept as a documented negative).
-    rader_gather: str = "lane"
+    #: Permutation gather strategy (Rader/Good-Thomas maps): "kernel"
+    #: (in-VMEM 5-phase Benes permutation, ops/pallas/permute.py — the TPU
+    #: analogue of RadersAvx2's in-register gathers; applies when the
+    #: (X<=16, 128, 128) digit grid exists, falling back to "lane"
+    #: otherwise), "lane" (plain last-axis jnp.take per f32 component),
+    #: "packed" (re-interleave the pair as complex64 so each gathered
+    #: element is 8 bytes — half the random-access transactions; measured
+    #: ~10% faster at (512, 65536) on v5e, BUT requires complex64 compute
+    #: support, which the tunneled backend dropped mid-round-3: every
+    #: complex-dtype op now returns UNIMPLEMENTED, so packed would crash
+    #: every Rader/GT plan.  An f64-bitcast repack was measured as a
+    #: replacement and LOSES — 9.3 vs 6.7 ms for the take pair, the
+    #: interleave costs a traversal), or "row" (transpose so the gather
+    #: rides the major axis then transpose back — measured NO better, XLA
+    #: cancels the transposes; kept as a documented negative).
+    rader_gather: str = "kernel"
 
     #: MXU precision inside Pallas kernels.  "bf16x3" = manual 3-pass bf16
     #: emulation (f32-grade accuracy at half the passes of HIGHEST, which

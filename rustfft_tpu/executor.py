@@ -259,7 +259,9 @@ def _build(
         q = recipe.right.length
         left_fn = build(recipe.left, direction, dtype, allow_fused)
         right_fn = build(recipe.right, direction, dtype, allow_fused)
-        return op_gt.make_good_thomas_fn(p, q, left_fn, right_fn, dtype)
+        return op_gt.make_good_thomas_fn(
+            p, q, left_fn, right_fn, dtype, pallas_mode=_pallas_mode()
+        )
 
     if isinstance(recipe, recipes.Raders):
         # hot path: the cyclic-convolution core as one Pallas kernel, with

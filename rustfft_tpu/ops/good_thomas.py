@@ -42,19 +42,47 @@ def make_good_thomas_fn(
     left_fn: Callable,
     right_fn: Callable,
     dtype,
+    pallas_mode: str = "off",
 ):
-    """left_fn: last-axis FFT of length p; right_fn: last-axis FFT of length q."""
+    """left_fn: last-axis FFT of length p; right_fn: last-axis FFT of length q.
+
+    pallas_mode ("off"/"tpu"/"interpret", executor._pallas_mode): in the
+    Pallas modes both re-index gathers run as the in-VMEM Benes permutation
+    kernel (ops/pallas/permute.py) when n fits its (X<=16, 128, 128) grid
+    and config.rader_gather == "kernel"."""
     input_map, output_map = make_index_maps(p, q)
+    n = p * q
+
+    in_perm_fn = out_perm_fn = None
+    if pallas_mode != "off":
+        from ..config import config
+        from .pallas import permute
+
+        if config.rader_gather == "kernel" and permute.permute_supported(
+            n, dtype
+        ):
+            interpret = pallas_mode == "interpret"
+            in_perm_fn = permute.make_permute_fn(
+                input_map.astype(np.int64), interpret=interpret
+            )
+            out_perm_fn = permute.make_permute_fn(
+                output_map.astype(np.int64), interpret=interpret
+            )
 
     def apply(x):
         shape = x[0].shape
-        gathered = calg.take(x, jnp.asarray(input_map), axis=-1)
+        if in_perm_fn is not None:
+            gathered = in_perm_fn(x)
+        else:
+            gathered = calg.take(x, jnp.asarray(input_map), axis=-1)
         x3 = calg.reshape(gathered, shape[:-1] + (p, q))
         y = right_fn(x3)  # DFT over j2 -> [j1, k2]
         y = calg.swapaxes(y, -1, -2)  # (..., q, p)
         y = left_fn(y)  # DFT over j1 -> [k2, k1]
         y = calg.swapaxes(y, -1, -2)  # (..., p, q) = [k mod p, k mod q]
         yflat = calg.reshape(y, shape)
+        if out_perm_fn is not None:
+            return out_perm_fn(yflat)
         return calg.take(yflat, jnp.asarray(output_map), axis=-1)
 
     return apply

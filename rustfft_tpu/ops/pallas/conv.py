@@ -45,6 +45,7 @@ from ...common import FftDirection
 from ...config import config
 from ... import twiddles
 from .. import calg
+from . import permute
 from .fused import (_choose_pq, contract_rhs, contract_wlhs,
                     resolve_precision, w_split)
 
@@ -257,20 +258,57 @@ def make_raders_fn(
     """
     from ..raders import raders_tables
 
+    from . import conv_radix
+
     m = p_prime - 1
     perm_in, inv_gather, b_fft = raders_tables(p_prime, direction)
-
-    core = _conv_core_fn(m, direction, dtype, h=b_fft, interpret=interpret,
-                         batch_tile=batch_tile)
     perm_in32 = perm_in.astype(np.int32)
     inv_gather32 = inv_gather.astype(np.int32)
+
+    # In-kernel permutations when the (X<=16, 128, 128) grid exists — the
+    # TPU analogue of RadersAvx2's in-register gathers.  The input gather
+    # reads from the p-length signal at indices in [1, p-1]; as a true
+    # m-permutation it is x[..., 1:][perm_in - 1].  Preferred form: FUSED
+    # into the radix conv core's two passes (zero extra HBM traffic, in_perm
+    # rides pass 1's read and out_perm pass 2's write — conj_out=True folds
+    # the epilogue conj so the core emits conj(D)[inv] directly).  Fallback:
+    # standalone Benes kernels around the dense core (one extra HBM
+    # round-trip each, still no random-access penalty).
+    in_perm_fn = out_perm_fn = None
+    fused_perms = False
+    use_radix = (
+        m >= config.conv_radix_min_m
+        and conv_radix.radix_conv_supported(m, dtype)
+    )
+    kernel_perms = (
+        config.rader_gather == "kernel" and permute.permute_supported(m, dtype)
+    )
+    if use_radix and kernel_perms:
+        core = conv_radix.make_radix_conv_fn(
+            m, direction, dtype, h=b_fft, conj_out=True,
+            interpret=interpret, batch_tile=batch_tile,
+            in_perm=perm_in - 1, out_perm=inv_gather,
+        )
+        fused_perms = True
+    else:
+        core = _conv_core_fn(m, direction, dtype, h=b_fft,
+                             interpret=interpret, batch_tile=batch_tile)
+        if kernel_perms:
+            in_perm_fn = permute.make_permute_fn(
+                perm_in - 1, interpret=interpret
+            )
+            out_perm_fn = permute.make_permute_fn(
+                inv_gather, interpret=interpret
+            )
 
     def gather_last(v, idx):
         """Pair gather v[..., idx] with a strategy switch (config.rader_gather).
 
-        'packed' (default; see calg.take) = one complex64 gather moving
-        8-byte elements.  'lane' = plain last-axis takes.  'row' = transpose
-        so the gather rides the MAJOR axis (each gathered row is a contiguous
+        'kernel' (default) = the Benes Pallas kernel above, falling back to
+        'lane' when no (X, 128, 128) grid exists.  'packed' (see calg.take)
+        = one complex64 gather moving 8-byte elements (needs backend complex
+        support).  'lane' = plain last-axis takes.  'row' = transpose so the
+        gather rides the MAJOR axis (each gathered row is a contiguous
         batch-length run) and transpose back — measured NO better (XLA
         canonicalizes the transpose pair away; documented negative).
         """
@@ -281,15 +319,26 @@ def make_raders_fn(
 
     def apply(x):
         xr, xi = x
-        a = gather_last(x, jnp.asarray(perm_in32))
-        d = core(a)
         # out[0] = x[0] + A[0] = sum(x)  (A[0] = sum over permuted inputs)
         out0 = (
             jnp.sum(xr, axis=-1, keepdims=True),
             jnp.sum(xi, axis=-1, keepdims=True),
         )
         # rest[t] = conj(D[inv] + conj(x0)) = conj(D[inv]) + x0
-        gr, gi = gather_last(d, jnp.asarray(inv_gather32))
+        if fused_perms:
+            # core applies both permutations AND the conj in-kernel
+            gr, gi = core((xr[..., 1:], xi[..., 1:]))
+            rest = (gr + xr[..., :1], gi + xi[..., :1])
+            return calg.concat_last(out0, rest)
+        if in_perm_fn is not None:
+            a = in_perm_fn((xr[..., 1:], xi[..., 1:]))
+        else:
+            a = gather_last(x, jnp.asarray(perm_in32))
+        d = core(a)
+        if out_perm_fn is not None:
+            gr, gi = out_perm_fn(d)
+        else:
+            gr, gi = gather_last(d, jnp.asarray(inv_gather32))
         rest = (gr + xr[..., :1], -gi + xi[..., :1])
         return calg.concat_last(out0, rest)
 

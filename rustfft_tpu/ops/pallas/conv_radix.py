@@ -44,6 +44,7 @@ from ...common import FftDirection
 from ...config import config
 from ... import twiddles
 from .. import calg
+from . import permute
 from .fused import (_vpu_fft_list, choose_rpq, contract_rhs, resolve_precision,
                     w_split)
 
@@ -57,33 +58,74 @@ def radix_conv_supported(m: int, dtype) -> bool:
 
 
 def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
-            conj_out, has_post, xr_ref, xi_ref, wp_hi_ref, wp_lo_ref,
+            conj_out, has_post, has_inperm, has_outperm,
+            xr_ref, xi_ref, wp_hi_ref, wp_lo_ref,
             wq_hi_ref, wq_lo_ref, t1r_ref, t1i_ref, t2r_ref, t2i_ref,
             prer_ref, prei_ref, hr_ref, hi_ref, postr_ref, posti_ref,
+            i1_ref, i2_ref, i3_ref, i4_ref, i5_ref,
+            o1_ref, o2_ref, o3_ref, o4_ref, o5_ref,
             or_ref, oi_ref):
     """One batch tile: (tb*p_in, r*q) natural -> (tb*q, r*p) natural, with
     optional elementwise prologue (pre) and epilogues (conj(.H) / conj /
     post) around the vpur FFT body (fused._fused_kernel_vpur derivation).
+
+    has_inperm / has_outperm fuse arbitrary m-point permutations (the Rader
+    root-order gathers) into the pass as in-VMEM Benes phases
+    (permute._apply_phases) — zero extra HBM traffic vs ~2 traversals +
+    random-access penalty for the XLA gathers they replace.  Requires
+    q == 128 (input Z digit on lanes) resp. p == 128 (output), and
+    p_in == p (no input trim).  The permuted input arrives as (tb*W, 128)
+    blocks (W = m/128); stage A then runs as r per-slice contractions
+    (the (j1, a) digits land interleaved on sublanes — merging them back
+    to the natural (p_in, r*q) lane layout would be a lane merge, illegal
+    in VMEM).
     """
     m1 = r * p
-    xr = xr_ref[:].reshape(tb, p_in, r * q)
-    xi = xi_ref[:].reshape(tb, p_in, r * q)
-
-    if has_pre:
-        pr = prer_ref[:]  # (p_in, r*q) natural [j1, a*q + j2]
-        pi = prei_ref[:]
-        vr = xr * pr - xi * pi
-        vi = xr * pi + xi * pr
+    if has_inperm:
+        w_rows = r * p  # m // q, q == 128
+        iz1, iy1, iy2, iz2 = i1_ref[:], i2_ref[:], i4_ref[:], i5_ref[:]
+        sel_a = i3_ref[:]
+        sel = [[sel_a[xd, xs] for xs in range(r)] for xd in range(r)]
+        sig_r, sig_i = [], []
+        for s in range(tb):
+            sig_r.append(permute._apply_phases(
+                xr_ref[s * w_rows:(s + 1) * w_rows, :], r, iz1, iy1, sel,
+                iy2, iz2))
+            sig_i.append(permute._apply_phases(
+                xi_ref[s * w_rows:(s + 1) * w_rows, :], r, iz1, iy1, sel,
+                iy2, iz2))
+        # (tb, p, r, q) [j1, a, j2]: row (j1*r + a) of the (W, Z) view
+        vr = jnp.stack(sig_r, axis=0).reshape(tb, p, r, q)
+        vi = jnp.stack(sig_i, axis=0).reshape(tb, p, r, q)
+        a_l = []
+        for a_i in range(r):
+            xb = jnp.concatenate(
+                [vr[:, :, a_i, :], vi[:, :, a_i, :]], axis=1
+            )  # (tb, 2p, q)
+            a_l.append(contract_rhs(
+                xb, wp_hi_ref[:], wp_lo_ref[:], (((1,), (1,)), ((), ())),
+                precision,
+            ))  # (tb, q, 2p) [j2, d]
+        a = jnp.stack(a_l, axis=1)  # (tb, r, q, 2p)
     else:
-        vr, vi = xr, xi
+        xr = xr_ref[:].reshape(tb, p_in, r * q)
+        xi = xi_ref[:].reshape(tb, p_in, r * q)
 
-    # stage A: DFT_p over the sublane b axis; wpa column-sliced to the live
-    # rows (2p, 2p_in) — K = 2*p_in (conv.py's boundary-stage trim)
-    xb = jnp.concatenate([vr, vi], axis=1)  # (tb, 2p_in, r*q)
-    a = contract_rhs(
-        xb, wp_hi_ref[:], wp_lo_ref[:], (((1,), (1,)), ((), ())), precision
-    )  # (tb, r*q, 2p) [a*q + j2, d]
-    a = a.reshape(tb, r, q, 2 * p)
+        if has_pre:
+            pr = prer_ref[:]  # (p_in, r*q) natural [j1, a*q + j2]
+            pi = prei_ref[:]
+            vr = xr * pr - xi * pi
+            vi = xr * pi + xi * pr
+        else:
+            vr, vi = xr, xi
+
+        # stage A: DFT_p over the sublane b axis; wpa column-sliced to the
+        # live rows (2p, 2p_in) — K = 2*p_in (conv.py's boundary-stage trim)
+        xb = jnp.concatenate([vr, vi], axis=1)  # (tb, 2p_in, r*q)
+        a = contract_rhs(
+            xb, wp_hi_ref[:], wp_lo_ref[:], (((1,), (1,)), ((), ())), precision
+        )  # (tb, r*q, 2p) [a*q + j2, d]
+        a = a.reshape(tb, r, q, 2 * p)
     sr, si = a[..., :p], a[..., p:]
 
     # twiddle w_{rp}^{a*d}, table (r, p)
@@ -115,6 +157,25 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
     # natural order k = k2*m1 + c*p + d: per-c lane transposes, lane concat
     outs_r = [jnp.swapaxes(er[:, c], -1, -2) for c in range(r)]  # (tb, q, p)
     outs_i = [jnp.swapaxes(ei[:, c], -1, -2) for c in range(r)]
+
+    if has_outperm:
+        # (W, Z) view of natural order: row k//128 = k2*r + c, lane k%128
+        # = d (p == 128) — a pure sublane interleave of the per-c slices
+        w_rows = r * q
+        zr4 = jnp.stack(outs_r, axis=2)  # (tb, q, r, p) [k2, c, d]
+        zi4 = jnp.stack(outs_i, axis=2)
+        if conj_out:
+            zi4 = -zi4
+        iz1, iy1, iy2, iz2 = o1_ref[:], o2_ref[:], o4_ref[:], o5_ref[:]
+        sel_a = o3_ref[:]
+        sel = [[sel_a[xd, xs] for xs in range(r)] for xd in range(r)]
+        for s in range(tb):
+            or_ref[s * w_rows:(s + 1) * w_rows, :] = permute._apply_phases(
+                zr4[s].reshape(w_rows, p), r, iz1, iy1, sel, iy2, iz2)
+            oi_ref[s * w_rows:(s + 1) * w_rows, :] = permute._apply_phases(
+                zi4[s].reshape(w_rows, p), r, iz1, iy1, sel, iy2, iz2)
+        return
+
     yr = jnp.concatenate(outs_r, axis=-1)  # (tb, q, r*p) natural [k2, k1]
     yi = jnp.concatenate(outs_i, axis=-1)
 
@@ -141,12 +202,40 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
 
 def _make_pass(
     m, r, p, q, direction, precision, interpret, p_in, pre, h, conj_out, post,
-    batch_tile=None,
+    batch_tile=None, in_perm=None, out_perm=None,
 ):
     """Build one vpur conv pass: fn(xr, xi) on (batch, p_in*r*q) 2D input,
-    returning (batch*q, r*p) natural-order arrays."""
+    returning (batch, m) natural-order arrays.
+
+    in_perm / out_perm: optional m-point permutations (gather convention)
+    fused into the pass as in-VMEM Benes phases (ops/pallas/permute.py) —
+    the Rader root-order gathers ride the kernel's existing HBM traversals
+    instead of paying XLA's random-access gather penalty.  The (X, 128, 128)
+    digit grid is exactly this kernel's (r, p, q) split, and with q == 128
+    the natural flat index j1*(r*q) + a*q + j2 IS the (W, Z) row-major
+    index (row j1*r + a), so the decomposition applies unchanged.
+    """
     rdt = np.float32
     m1 = r * p
+    has_inperm = in_perm is not None
+    has_outperm = out_perm is not None
+    if has_inperm:
+        assert q == 128 and p_in == p and pre is None
+    if has_outperm:
+        assert p == 128 and h is None and post is None
+    idt = np.int32
+    dummy_i = np.zeros((1, 1), idt)
+    dummy_f = np.zeros((1, 1), rdt)
+    in_tabs = (dummy_i, dummy_i, dummy_f, dummy_i, dummy_i)
+    out_tabs = (dummy_i, dummy_i, dummy_f, dummy_i, dummy_i)
+    if has_inperm:
+        in_tabs = permute.decompose(
+            np.asarray(in_perm, dtype=np.int64), r
+        )
+    if has_outperm:
+        out_tabs = permute.decompose(
+            np.asarray(out_perm, dtype=np.int64), r
+        )
 
     wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)
     live = list(range(p_in)) + list(range(p, p + p_in))
@@ -183,7 +272,7 @@ def _make_pass(
         np.ascontiguousarray(t1.imag).astype(rdt),
         np.ascontiguousarray(t2.real).astype(rdt),
         np.ascontiguousarray(t2.imag).astype(rdt),
-        *pre_t, *h_t, *post_t,
+        *pre_t, *h_t, *post_t, *in_tabs, *out_tabs,
     ]
 
     def _tb(batch):
@@ -192,12 +281,16 @@ def _make_pass(
         # fused.make_fused_radix_fn's measured rule (small tiles pipeline
         # best), with the extra natural-order tables charged to the budget
         copies = 24 + 3 * r.bit_length()
+        # Benes phases hold ~6 extra (W, Z) copies per component per signal
+        copies += 12 * (has_inperm + has_outperm)
         budget = max(config.pallas_vmem_limit, 112 * 2**20) - 12 * m
         budget -= sum(4 * c.size for c in consts[8:])
         tb = max(1, budget // (copies * 4 * m))
         tb = 1 << (tb.bit_length() - 1)
         # measured at m=65536 (same run): tb=16 (3.94ms) > 8 (4.05) > 4 > 2
         return max(1, min(tb, 16, batch))
+
+    w_rows = r * p  # (W, Z) rows of one signal, q == Z == 128
 
     def call(xr, xi):
         batch = xr.shape[0]
@@ -209,18 +302,43 @@ def _make_pass(
         bpad = batch + pad_b
         k = functools.partial(
             _kernel, r, p, q, tb, p_in, precision, direction, has_pre,
-            has_h, conj_out, has_post,
+            has_h, conj_out, has_post, has_inperm, has_outperm,
         )
-        in_bspec = pl.BlockSpec(
-            (tb * p_in, r * q), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM
-        )
-        out_bspec = pl.BlockSpec(
-            (tb * q, m1), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM
-        )
+        if has_inperm:
+            in_bspec = pl.BlockSpec(
+                (tb * w_rows, q), i32map(lambda i: (i, 0)),
+                memory_space=pltpu.VMEM,
+            )
+            xr2 = xr.reshape(bpad * w_rows, q)
+            xi2 = xi.reshape(bpad * w_rows, q)
+        else:
+            in_bspec = pl.BlockSpec(
+                (tb * p_in, r * q), i32map(lambda i: (i, 0)),
+                memory_space=pltpu.VMEM,
+            )
+            xr2 = xr.reshape(bpad * p_in, r * q)
+            xi2 = xi.reshape(bpad * p_in, r * q)
+        if has_outperm:
+            out_bspec = pl.BlockSpec(
+                (tb * r * q, p), i32map(lambda i: (i, 0)),
+                memory_space=pltpu.VMEM,
+            )
+            out_shape = [
+                jax.ShapeDtypeStruct((bpad * r * q, p), jnp.float32)
+            ] * 2
+        else:
+            out_bspec = pl.BlockSpec(
+                (tb * q, m1), i32map(lambda i: (i, 0)),
+                memory_space=pltpu.VMEM,
+            )
+            out_shape = [
+                jax.ShapeDtypeStruct((bpad * q, m1), jnp.float32)
+            ] * 2
 
         def cspec(w):
+            nd = w.ndim
             return pl.BlockSpec(
-                w.shape, i32map(lambda i: (0, 0)), memory_space=pltpu.VMEM
+                w.shape, i32map(lambda i: (0,) * nd), memory_space=pltpu.VMEM
             )
 
         out_r, out_i = pl.pallas_call(
@@ -228,16 +346,12 @@ def _make_pass(
             grid=(bpad // tb,),
             in_specs=[in_bspec, in_bspec] + [cspec(w) for w in consts],
             out_specs=[out_bspec, out_bspec],
-            out_shape=[jax.ShapeDtypeStruct((bpad * q, m1), jnp.float32)] * 2,
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=max(config.pallas_vmem_limit, 112 * 2**20)
             ),
             interpret=interpret,
-        )(
-            xr.reshape(bpad * p_in, r * q),
-            xi.reshape(bpad * p_in, r * q),
-            *[jnp.asarray(w) for w in consts],
-        )
+        )(xr2, xi2, *[jnp.asarray(w) for w in consts])
         return (
             out_r.reshape(bpad, m)[:batch],
             out_i.reshape(bpad, m)[:batch],
@@ -259,12 +373,19 @@ def make_radix_conv_fn(
     interpret: bool = False,
     precision=None,
     batch_tile=None,
+    in_perm: Optional[np.ndarray] = None,
+    out_perm: Optional[np.ndarray] = None,
 ) -> Callable:
     """Build fn: Cplx (..., n_in) -> Cplx (..., n_out) computing
 
         out = [post *] maybe_conj( FFT_m( conj( FFT_m([pre *] zeropad(x)) * H ) ) )
 
     with the same contract as conv.make_conv_fn, for m = r*128*128.
+
+    in_perm / out_perm (m-point gather permutations): fused into pass 1's
+    read resp. pass 2's write as in-VMEM Benes phases — the TPU analogue of
+    RadersAvx2's in-register gathers (avx_raders.rs:243-307).  Requires
+    n_in == m and pre is None (in) / post is None (out).
     """
     assert np.dtype(dtype) == np.complex64
     rpq = choose_rpq(m)
@@ -272,6 +393,10 @@ def make_radix_conv_fn(
     r, p, q = rpq
     n_in = n_in or m
     n_out = n_out or m
+    if in_perm is not None:
+        assert n_in == m and pre is None
+    if out_perm is not None:
+        assert post is None
     precision = resolve_precision(precision, interpret)
 
     # live input row-groups: j < n_in covers b < ceil(n_in / (r*q)),
@@ -288,12 +413,12 @@ def make_radix_conv_fn(
     pass1 = _make_pass(
         m, r, p, q, direction, precision, interpret,
         p_in=p_in, pre=eff_pre, h=h, conj_out=False, post=None,
-        batch_tile=batch_tile,
+        batch_tile=batch_tile, in_perm=in_perm,
     )
     pass2 = _make_pass(
         m, r, p, q, direction, precision, interpret,
         p_in=p, pre=None, h=None, conj_out=conj_out, post=post,
-        batch_tile=batch_tile,
+        batch_tile=batch_tile, out_perm=out_perm,
     )
 
     def apply(x):

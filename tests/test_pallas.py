@@ -504,6 +504,63 @@ def test_large3_split_chooser():
     assert not large3.large3_supported(1 << 23, np.complex128)
 
 
+def test_permute_kernel_exact():
+    """5-phase Benes permutation kernel (ops/pallas/permute.py): random and
+    structured (Rader root-order) permutations reproduce x[..., perm]
+    EXACTLY (every phase is a pure pick — no arithmetic on the values)."""
+    import math
+
+    from rustfft_tpu.ops.pallas import permute
+
+    rng = np.random.default_rng(11)
+    m = 16384
+    perms = [rng.permutation(m)]
+    # a structured multiplicative-stride permutation (same scattered-access
+    # character as the Rader root orders)
+    g = 5
+    assert math.gcd(g, m) == 1
+    perms.append((np.arange(m, dtype=np.int64) * g + 7) % m)
+    for perm in perms:
+        fn = permute.make_permute_fn(perm, interpret=True, tb=2)
+        xr = rng.standard_normal((3, m)).astype(np.float32)
+        xi = rng.standard_normal((3, m)).astype(np.float32)
+        o_r, o_i = fn((xr, xi))
+        assert np.array_equal(np.asarray(o_r), xr[:, perm])
+        assert np.array_equal(np.asarray(o_i), xi[:, perm])
+
+
+def test_permute_edge_coloring():
+    """Euler-split edge coloring: proper (no node repeats a color) on a
+    k-regular bipartite multigraph, including non-power-of-two node counts."""
+    from rustfft_tpu.ops.pallas import permute
+
+    rng = np.random.default_rng(7)
+    n_nodes, colors = 6, 8  # 8-regular on 6+6 nodes
+    src = np.repeat(np.arange(n_nodes), colors)
+    dst = np.concatenate([rng.permutation(n_nodes) for _ in range(colors)])
+    dst = np.repeat(dst[: n_nodes * colors // n_nodes], 1)[: len(src)]
+    # build a proper k-regular multigraph: k random perfect matchings
+    dst = np.concatenate(
+        [rng.permutation(n_nodes) for _ in range(colors)]
+    )
+    src = np.tile(np.arange(n_nodes), colors)
+    col = permute.edge_color(src, dst, colors, n_nodes)
+    for node in range(n_nodes):
+        assert len(set(col[src == node])) == colors
+        assert len(set(col[dst == node])) == colors
+
+
+def test_permute_supported_grid():
+    from rustfft_tpu.ops.pallas import permute
+
+    assert permute.choose_x(16384) == 1
+    assert permute.choose_x(65536) == 4
+    assert permute.choose_x(3 * 16384) == 3  # non-pow2 X is fine
+    assert permute.choose_x(17 * 16384) is None  # select tree cap
+    assert permute.choose_x(8192) is None
+    assert not permute.permute_supported(65536, np.complex128)
+
+
 def test_large2f_matches_oracle():
     """Fused two-kernel pipeline (interpret mode, scaled-down splits): the
     fused column stage (DFT_P1 + factorized twiddles + j2 VPU chain) must
