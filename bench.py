@@ -183,11 +183,24 @@ def mxu_flops_per_point(n: int):
     if route == "large":
         p, q1, q2 = large.choose_pqq(n)
         return 8 * (p + q1 + q2) * passes
-    if route == "large3":
-        from rustfft_tpu.ops.pallas import large3
+    if route in ("large3", "large2f"):
+        # large2f fuses large3's pass 2 into the column stage; the MXU pass
+        # count is unchanged (the P2 digit rides the VPU in both)
+        from rustfft_tpu.ops.pallas import large2f, large3
 
-        p1, p2, q1, q2, q = large3.choose_split3(n)
-        return 8 * (p1 + q1 + q2) * passes  # P2 digit rides the VPU
+        split = (
+            large2f.choose_split2f(n)
+            if route == "large2f"
+            else large3.choose_split3(n)
+        )
+        p1, p2, q1, q2, q = split
+        return 8 * (p1 + q1 + q2) * passes
+    if route == "large_pad":
+        from rustfft_tpu.ops.pallas import largepad
+
+        p, q1, q2 = largepad.choose_pq_padded(n)
+        pad = largepad._r128(p) * largepad._r128(q1 * q2) / n
+        return 8 * (p + q1 + q2) * passes * pad
     # prime classes: the conv kernel if the planner's inner length admits it
     from rustfft_tpu import FftPlanner
     from rustfft_tpu import recipes
@@ -291,7 +304,7 @@ def main():
         json.dumps(
             {
                 "metric": "batched c64 FFT GFLOP/s, geomean over sizes "
-                "{1024,4096,65536,2^20,2^22,2^23,2^24,1234,1009,65537,3888}",
+                "{1024,4096,65536,2^20,2^22..2^25,1234,1009,65537,3888}",
                 "value": round(geo, 2),
                 "unit": "GFLOP/s (5N log2 N)",
                 "vs_baseline": round(geo / geo_base, 2),
