@@ -217,6 +217,16 @@ def mxu_flops_per_point(n: int):
             # stages: A (K=2*p_in), B (q), A' (q), B' (M=2*p_out~p_in)
             per_m = 8 * (p_in + q + q + p_in) * passes
             return per_m * m / n
+        from rustfft_tpu.ops.pallas import convlarge
+
+        if isinstance(recipe, recipes.Bluesteins) and convlarge.bconv_supported(
+            m, np.complex64
+        ) and executor.pallas_route(m, np.complex64, mode="tpu") == "large":
+            p, q1, q2 = large.choose_pqq(m)
+            q = q1 * q2
+            pkeep = min(p, -(-((n - 1) // q + 1) // 128) * 128)
+            # A: P; B_conv: two FFT_Q passes; A2: the kept DFT_P rows
+            return (8 * p + 16 * (q1 + q2) + 8 * pkeep) * passes * m / n
     return None
 
 

@@ -287,10 +287,23 @@ def _build(
         # no pallas_min_n gate: the conv kernel replaces ~10 XLA passes, so
         # it wins at much smaller sizes than the plain fused kernel
         if mode != "off" and allow_fused:
-            from .ops.pallas import conv
+            from .ops.pallas import conv, convlarge
 
             if conv.conv_any_supported(m, dtype):
                 return conv.make_bluestein_fn(
+                    recipe.length, m, direction, dtype,
+                    interpret=(mode == "interpret"),
+                )
+            if (
+                convlarge.bconv_supported(m, dtype)
+                and pallas_route(m, dtype, mode) == "large"
+            ):
+                # huge inner on the large tier: the 3-kernel fused
+                # convolution (~11 traversals of m vs ~16 glued).  Radix-
+                # tier inners (m < large_min_n) keep the glued route: the
+                # single-kernel radix FFT already runs at 2 traversals, so
+                # the fusion win there is marginal and unmeasured.
+                return convlarge.make_bluestein_large_fn(
                     recipe.length, m, direction, dtype,
                     interpret=(mode == "interpret"),
                 )

@@ -103,35 +103,36 @@ def _kernel_a_deep(p, qt, radices, precision, xr_ref, xi_ref, *refs):
     oi_ref[:] = jnp.swapaxes(zi, 0, 1)[None]
 
 
-def _kernel_b(q1, q2, pt, precision, variant, xr_ref, xi_ref, w1_hi_ref,
-              w1_lo_ref, w2_hi_ref, w2_lo_ref, twr_ref, twi_ref,
-              or_ref, oi_ref):
-    """Row stage: (1, Q, pt) [j2, k1] -> (1, Q, pt) [k2, k1] natural order.
+def fftq_sublane(xr, xi, q1, q2, pt, precision, variant, w1_hi, w1_lo,
+                 w2_hi, w2_lo, twr, twi):
+    """FFT of length Q = q1*q2 over the sublane axis of (Q, pt) pairs.
 
-    FFT of length Q = q1*q2 over the sublane axis, lanes untouched.
+    Natural-order output [k, lane]; lanes untouched.  Shared by _kernel_b
+    and the fused Bluestein convolution kernel (convlarge._kernel_bconv),
+    which chains two of these around the pointwise H multiply.
     """
-    xr = xr_ref[:].reshape(q1, q2, pt)  # [ja, jb, k1]
-    xi = xi_ref[:].reshape(q1, q2, pt)
+    xr = xr.reshape(q1, q2, pt)  # [ja, jb, k1]
+    xi = xi.reshape(q1, q2, pt)
 
-    def wlhs(w_hi_ref, w_lo_ref, x, rhs_dim):
+    def wlhs(w_hi, w_lo, x, rhs_dim):
         """Weights-as-lhs contraction: out[k, ...] = sum_j w[k, j] x[..j..].
 
         Output order = (lhs free = k) + (rhs free dims) — the k axis lands
         leading and the lane axis is untouched, so no relayout is needed.
         """
         dims = (((1,), (rhs_dim,)), ((), ()))
-        return contract_wlhs(w_hi_ref[:], w_lo_ref[:], x, dims, precision)
+        return contract_wlhs(w_hi, w_lo, x, dims, precision)
 
     # stage 1: DFT_q1 over ja
     if variant == "wlhs":
         xb = jnp.concatenate([xr, xi], axis=0)  # (2q1, q2, pt)
-        a = wlhs(w1_hi_ref, w1_lo_ref, xb, 0)  # (2q1, q2, pt) [ka, jb, k1]
+        a = wlhs(w1_hi, w1_lo, xb, 0)  # (2q1, q2, pt) [ka, jb, k1]
     else:  # "swap": make ja the sublane dim, contract rhs-style, fix order
         s_r = jnp.swapaxes(xr, 0, 1)  # (q2, q1, pt)
         s_i = jnp.swapaxes(xi, 0, 1)
         sb = jnp.concatenate([s_r, s_i], axis=1)  # (q2, 2q1, pt)
         a = _contract(
-            sb, w1_hi_ref[:], w1_lo_ref[:], (((1,), (1,)), ((), ())), precision
+            sb, w1_hi, w1_lo, (((1,), (1,)), ((), ())), precision
         )  # (q2, pt, 2q1)
         a = jnp.moveaxis(a, -1, 0)  # (2q1, q2, pt) [ka, jb, k1]
 
@@ -139,26 +140,42 @@ def _kernel_b(q1, q2, pt, precision, variant, xr_ref, xi_ref, w1_hi_ref,
     ai = a[q1:]
 
     # inner twiddle w_Q^(ka*jb), tables (q1, q2, 1) broadcast over lanes
-    twr = twr_ref[:].reshape(q1, q2, 1)
-    twi = twi_ref[:].reshape(q1, q2, 1)
+    twr = twr.reshape(q1, q2, 1)
+    twi = twi.reshape(q1, q2, 1)
     br = ar * twr - ai * twi
     bi = ar * twi + ai * twr  # (q1, q2, pt) [ka, jb, k1]
 
     # stage 2: DFT_q2 over jb
     bb = jnp.concatenate([br, bi], axis=1)  # (q1, 2q2, pt)
     if variant == "wlhs":
-        d = wlhs(w2_hi_ref, w2_lo_ref, bb, 1)  # (2q2, q1, pt) [kb, ka, k1]
+        d = wlhs(w2_hi, w2_lo, bb, 1)  # (2q2, q1, pt) [kb, ka, k1]
     else:
         d = _contract(
-            bb, w2_hi_ref[:], w2_lo_ref[:], (((1,), (1,)), ((), ())), precision
+            bb, w2_hi, w2_lo, (((1,), (1,)), ((), ())), precision
         )  # (q1, pt, 2q2)
         d = jnp.moveaxis(d, -1, 0)  # (2q2, q1, pt) [kb, ka, k1]
     dr = d[:q2]
     di = d[q2:]
 
     # flat index kb*q1 + ka = natural order within Q
-    or_ref[:] = dr.reshape(1, q1 * q2, pt)
-    oi_ref[:] = di.reshape(1, q1 * q2, pt)
+    return dr.reshape(q1 * q2, pt), di.reshape(q1 * q2, pt)
+
+
+def _kernel_b(q1, q2, pt, precision, variant, xr_ref, xi_ref, w1_hi_ref,
+              w1_lo_ref, w2_hi_ref, w2_lo_ref, twr_ref, twi_ref,
+              or_ref, oi_ref):
+    """Row stage: (1, Q, pt) [j2, k1] -> (1, Q, pt) [k2, k1] natural order.
+
+    FFT of length Q = q1*q2 over the sublane axis, lanes untouched.
+    """
+    q = q1 * q2
+    dr, di = fftq_sublane(
+        xr_ref[:].reshape(q, pt), xi_ref[:].reshape(q, pt), q1, q2, pt,
+        precision, variant, w1_hi_ref[:], w1_lo_ref[:], w2_hi_ref[:],
+        w2_lo_ref[:], twr_ref[:], twi_ref[:],
+    )
+    or_ref[:] = dr[None]
+    oi_ref[:] = di[None]
 
 
 def _lane_tile(dim: int, cap: int) -> int:

@@ -98,6 +98,27 @@ def test_bluestein_conv_kernel(n, m, direction):
     assert err < 1e-2, (n, m, direction, err)
 
 
+@pytest.mark.parametrize("n,m", [(8191, 16384), (12289, 32768)])
+@pytest.mark.parametrize(
+    "direction", [FftDirection.FORWARD, FftDirection.INVERSE]
+)
+def test_bluestein_large_conv_pipeline(n, m, direction):
+    """Fused 3-kernel Bluestein convolution on the large-pipeline structure
+    (ops/pallas/convlarge.py) — huge-inner tier.  12289 exercises the
+    sliced kernel A2 (pkeep < P); 8191 the full-P case."""
+    from rustfft_tpu.ops.pallas import convlarge
+
+    assert convlarge.bconv_supported(m, np.complex64)
+    fn = convlarge.make_bluestein_large_fn(
+        n, m, direction, np.complex64, interpret=True
+    )
+    sig = random_signal(2 * n, dtype=np.complex64, seed=n).reshape(2, n)
+    o_r, o_i = fn((sig.real, sig.imag))
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    err = mean_element_error(out, oracle_dft(sig, direction))
+    assert err < 1e-2, (n, m, direction, err)
+
+
 @pytest.mark.parametrize("p", [257, 769])
 @pytest.mark.parametrize(
     "direction", [FftDirection.FORWARD, FftDirection.INVERSE]
