@@ -172,6 +172,12 @@ def mxu_flops_per_point(n: int):
         config.pallas_precision, 6
     )
     route = executor.pallas_route(n, np.complex64, mode="tpu")
+    if route == "dense":
+        # gauss 3-multiply: 3 GEMMs of (bt, npad) @ (npad, npad) = 6*npad
+        # flops/point (the lane pad is real MXU work)
+        from rustfft_tpu.ops.pallas import dense
+
+        return 6 * dense._n_pad(n) * passes
     if route == "lanepack":
         return 8 * sum(lanepack.choose_radices(n)) * passes
     if route == "two_stage":

@@ -43,6 +43,17 @@ class FftConfig:
     #: (measured crossover on v5e: lanepack beats XLA from ~512 up).
     pallas_min_n: int = 512
 
+    #: Largest transform ALWAYS routed to the dense whole-DFT matmul kernel
+    #: (ops/pallas/dense.py) — one MXU GEMM per batch tile, any length.
+    #: 0 disables (unmeasured on hardware; flip after a clean-run sweep).
+    dense_max_n: int = 0
+
+    #: Largest transform routed to the dense kernel when NO other Pallas
+    #: tier serves it (primes, misaligned smalls below the lanepack band):
+    #: the O(n^2) MXU matmul still beats the multi-pass XLA/conv routes up
+    #: to ~1.5k points in theory.  0 disables (unmeasured on hardware).
+    dense_fallback_max_n: int = 0
+
     #: Largest transform routed to the batch-in-lanes kernel
     #: (ops/pallas/lanepack.py) when a lane-aligned fused split also exists;
     #: misaligned sizes use lanepack as far as its VMEM bound allows.

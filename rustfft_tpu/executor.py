@@ -72,6 +72,9 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
     recipe tree / XLA path).
 
     Tiers (all thresholds measured on v5e, see config):
+      'dense'       whole-DFT MXU matmul (ops/pallas/dense.py): any length,
+                    one HBM traversal — the small-n / small-prime tier
+                    (gated by config.dense_max_n / dense_fallback_max_n).
       'lanepack'    batch-in-lanes (ops/pallas/lanepack.py): the small-n band
                     and every lane-misaligned composite (2^a*3^b etc.) its
                     VMEM bound admits — sublane stages need no 128-alignment.
@@ -94,9 +97,19 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
         mode = _pallas_mode()
     if mode == "off":
         return None
-    from .ops.pallas import fused, lanepack, large, large2f, large3, largepad
+    from .ops.pallas import (
+        dense, fused, lanepack, large, large2f, large3, largepad,
+    )
+
+    # tier 0: dense whole-DFT matmul — one MXU GEMM, any length; outranks
+    # the factored tiers below config.dense_max_n (and backstops sizes no
+    # other tier serves, below — primes / misaligned smalls)
+    if n <= config.dense_max_n and dense.dense_supported(n, dtype):
+        return "dense"
 
     if mode == "tpu" and n < config.pallas_min_n:
+        if n <= config.dense_fallback_max_n and dense.dense_supported(n, dtype):
+            return "dense"
         return None
 
     aligned = None
@@ -148,6 +161,9 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
     # padded-lane pipeline instead of the XLA six-step
     if n >= config.largepad_min_n and largepad.largepad_supported(n, dtype):
         return "large_pad"
+    # dense backstop: no factored tier serves n (primes, misaligned smalls)
+    if n <= config.dense_fallback_max_n and dense.dense_supported(n, dtype):
+        return "dense"
     return None
 
 
@@ -156,10 +172,13 @@ def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[
     route = pallas_route(n, dtype, mode)
     if route is None:
         return None
-    from .ops.pallas import fused, lanepack, large, large2f, large3, largepad
+    from .ops.pallas import (
+        dense, fused, lanepack, large, large2f, large3, largepad,
+    )
 
     interpret = mode == "interpret"
     builder = {
+        "dense": dense.make_dense_fft_fn,
         "lanepack": lanepack.make_lanepack_fn,
         "radix": fused.make_fused_radix_fn,
         "large": large.make_large_fft_fn,
@@ -206,7 +225,8 @@ def build(
         config.large_min_n, config.use_radix_fused, config.pallas_precision,
         config.pallas_vmem_limit, config.matmul_precision,
         config.conv_radix_min_m, config.rader_gather, config.large3_min_n,
-        config.largepad_min_n, config.large2f_min_n,
+        config.largepad_min_n, config.large2f_min_n, config.dense_max_n,
+        config.dense_fallback_max_n,
     )
     fn = _CACHE.get(key)
     if fn is None:

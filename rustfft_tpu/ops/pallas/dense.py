@@ -1,0 +1,192 @@
+"""Dense whole-DFT matmul kernel: the MXU-first answer to the small-n band.
+
+One Pallas kernel computes the full DFT as a single batched matmul
+out = x @ W_n per batch tile — no factorization, no twiddles, no lane
+transposes, ONE HBM traversal.  Works for ANY length (primes and
+lane-misaligned sizes included: the weight table is lane-padded and the
+x blocks ride lanepack's whole-dim lane-block form).
+
+Why this wins where the factored kernels can't: the small band is
+op-count bound (CLAUDE.md lanepack anatomy: ~30 VPU ops/group dominate,
+ceiling ~370-500 GF/s at 1024), while the MXU at ~205 TF/s bf16 makes
+even the O(n^2) dense transform fast below ~1.5k points:
+
+    nominal rate = 5 log2(n) / (passes * 6 n_pad) * 205e12   (gauss)
+      n=256: ~1.8 TF/s   n=512: ~1.0 TF/s   n=1009: ~560 GF/s
+
+vs the measured factored tiers (lanepack 359-502, Bluestein conv ~150 at
+1009).  This is the TPU translation of the reference's hand-rolled
+butterflies (butterflies.rs, 6.4k LoC of fixed-size kernels) and its
+dense-DFT fallback (algorithm/dft.rs:1-60): on a systolic-array machine
+the DFT *matrix* is the butterfly.
+
+Complex arithmetic uses the 3-multiply (Gauss) split by default — 25%
+fewer MXU passes than the block-matrix form at one extra VPU add:
+
+    P1 = xr @ Wr, P2 = xi @ Wi, P3 = (xr + xi) @ (Wr + Wi)
+    out_re = P1 - P2, out_im = P3 - P1 - P2
+
+The "block" variant keeps the single [xr xi] @ [[Wr, Wi], [-Wi, Wr]]
+GEMM for comparison (same layout as ops/calg.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...common import FftDirection
+from ...config import config
+from ... import twiddles
+from .util import i32map
+from .fused import contract_rhs as _contract, resolve_precision, w_split
+
+LANES = 128
+
+
+def _n_pad(n: int) -> int:
+    return -(-n // LANES) * LANES
+
+
+def _passes(precision) -> int:
+    return {"bf16x3": 3, "bf16x2": 2, "bf16": 1}.get(precision, 3)
+
+
+def _weight_bytes(n: int, variant: str, precision) -> int:
+    """Weight-table VMEM bytes: gauss ships 3 (np, np) tables, block one
+    (2np, 2np) — each as a bf16 (hi, lo) pair (f32-sized total)."""
+    npad = _n_pad(n)
+    per = 4 * npad * npad  # hi+lo bf16 = 4 bytes/element
+    return 3 * per if variant == "gauss" else 4 * per
+
+
+def _vmem_bytes(n: int, bt: int, variant: str, precision) -> int:
+    # x/out pairs + bf16 splits + the 3 product tiles: ~10 (bt, npad) f32
+    work = 10 * bt * _n_pad(n) * 4
+    return _weight_bytes(n, variant, precision) + work
+
+
+def dense_supported(n: int, dtype, variant: str = "gauss") -> bool:
+    """True when the dense whole-DFT kernel can serve length n (c64)."""
+    if np.dtype(dtype) != np.complex64:
+        return False
+    if n < 4:
+        return False
+    return _vmem_bytes(n, 128, variant, None) <= config.pallas_vmem_limit
+
+
+def _kernel_gauss(n, npad, precision, xr_ref, xi_ref, wr_hi_ref, wr_lo_ref,
+                  wi_hi_ref, wi_lo_ref, ws_hi_ref, ws_lo_ref,
+                  or_ref, oi_ref):
+    """(bt, n) pair -> (bt, n) pair: out = x @ W_n, 3-multiply complex."""
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    if npad != n:
+        pad = jnp.zeros((xr.shape[0], npad - n), jnp.float32)
+        xr = jnp.concatenate([xr, pad], axis=1)
+        xi = jnp.concatenate([xi, pad], axis=1)
+    dims = (((1,), (0,)), ((), ()))
+    p1 = _contract(xr, wr_hi_ref[:], wr_lo_ref[:], dims, precision)
+    p2 = _contract(xi, wi_hi_ref[:], wi_lo_ref[:], dims, precision)
+    p3 = _contract(xr + xi, ws_hi_ref[:], ws_lo_ref[:], dims, precision)
+    or_ref[:] = (p1 - p2)[:, :n]
+    oi_ref[:] = (p3 - p1 - p2)[:, :n]
+
+
+def _kernel_block(n, npad, precision, xr_ref, xi_ref, wh_ref, wl_ref,
+                  or_ref, oi_ref):
+    """Single block-GEMM variant: [xr xi] @ [[Wr, Wi], [-Wi, Wr]]."""
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    if npad != n:
+        pad = jnp.zeros((xr.shape[0], npad - n), jnp.float32)
+        xr = jnp.concatenate([xr, pad], axis=1)
+        xi = jnp.concatenate([xi, pad], axis=1)
+    xb = jnp.concatenate([xr, xi], axis=1)  # (bt, 2*npad)
+    d = _contract(
+        xb, wh_ref[:], wl_ref[:], (((1,), (0,)), ((), ())), precision
+    )  # (bt, 2*npad)
+    or_ref[:] = d[:, :n]
+    oi_ref[:] = d[:, npad : npad + n]
+
+
+def make_dense_fft_fn(
+    n: int,
+    direction: FftDirection,
+    dtype,
+    interpret: bool = False,
+    precision=None,
+    variant: str = "gauss",
+    batch_tile: int = 128,
+) -> Callable:
+    """Return fn: Cplx (..., n) -> Cplx (..., n): unnormalized DFT via one
+    dense MXU matmul per batch tile (reference semantics: algorithm/dft.rs)."""
+    assert np.dtype(dtype) == np.complex64, "dense kernel is c64 only"
+    precision = resolve_precision(precision, interpret)
+    npad = _n_pad(n)
+
+    w = twiddles.dft_matrix(n, direction)  # (n, n) complex, w[j, k]
+    wp = np.zeros((npad, npad), np.complex128)
+    wp[:n, :n] = w
+
+    if variant == "gauss":
+        wr = np.ascontiguousarray(wp.real).astype(np.float32)
+        wi = np.ascontiguousarray(wp.imag).astype(np.float32)
+        tables = [
+            t
+            for m in (wr, wi, wr + wi)
+            for t in w_split(m, precision)
+        ]
+        kernel = functools.partial(_kernel_gauss, n, npad, precision)
+    else:
+        top = np.concatenate([wp.real, wp.imag], axis=1)
+        bot = np.concatenate([-wp.imag, wp.real], axis=1)
+        wb = np.concatenate([top, bot], axis=0).astype(np.float32)  # (2np, 2np)
+        tables = list(w_split(wb, precision))
+        kernel = functools.partial(_kernel_block, n, npad, precision)
+
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=config.pallas_vmem_limit)
+
+    def const_spec(t):
+        return pl.BlockSpec(
+            t.shape, i32map(lambda i: (0, 0)), memory_space=pltpu.VMEM
+        )
+
+    def run(xr, xi, bt):
+        batch = xr.shape[0]
+        bspec = pl.BlockSpec(
+            (bt, n), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(batch // bt,),
+            in_specs=[bspec, bspec] + [const_spec(t) for t in tables],
+            out_specs=[bspec, bspec],
+            out_shape=[jax.ShapeDtypeStruct((batch, n), jnp.float32)] * 2,
+            compiler_params=cparams,
+            interpret=interpret,
+        )(xr, xi, *[jnp.asarray(t) for t in tables])
+
+    def apply(x):
+        xr, xi = x
+        shape = xr.shape
+        flat_r = xr.reshape(-1, n)
+        flat_i = xi.reshape(-1, n)
+        batch = flat_r.shape[0]
+        bt = batch_tile
+        pad = (-batch) % bt
+        if pad:
+            flat_r = jnp.pad(flat_r, ((0, pad), (0, 0)))
+            flat_i = jnp.pad(flat_i, ((0, pad), (0, 0)))
+        out_r, out_i = run(flat_r, flat_i, bt)
+        if pad:
+            out_r = out_r[:batch]
+            out_i = out_i[:batch]
+        return out_r.reshape(shape), out_i.reshape(shape)
+
+    return apply

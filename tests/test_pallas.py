@@ -119,6 +119,50 @@ def test_bluestein_large_conv_pipeline(n, m, direction):
     assert err < 1e-2, (n, m, direction, err)
 
 
+@pytest.mark.parametrize(
+    "n", [64, 128, 243, 500, 512, 1009, 1234]  # pow2, 3^5, misaligned, primes
+)
+@pytest.mark.parametrize("variant", ["gauss", "block"])
+def test_dense_matmul_kernel(n, variant):
+    """Dense whole-DFT MXU matmul tier (ops/pallas/dense.py): any length,
+    including primes, one kernel."""
+    from rustfft_tpu.ops.pallas import dense
+
+    assert dense.dense_supported(n, np.complex64, variant)
+    for direction in (FftDirection.FORWARD, FftDirection.INVERSE):
+        fn = dense.make_dense_fft_fn(
+            n, direction, np.complex64, interpret=True, variant=variant
+        )
+        sig = random_signal(3 * n, dtype=np.complex64, seed=n).reshape(3, n)
+        o_r, o_i = fn((sig.real, sig.imag))
+        out = np.asarray(o_r) + 1j * np.asarray(o_i)
+        err = mean_element_error(out, oracle_dft(sig, direction))
+        assert err < 1e-2, (n, variant, direction, err)
+
+
+def test_dense_route_knobs():
+    """dense_max_n / dense_fallback_max_n gate the dense tier (defaults off
+    pending hardware measurement)."""
+    from rustfft_tpu import executor
+
+    assert executor.pallas_route(256, np.complex64, mode="tpu") is None
+    old_max, old_fb = config.dense_max_n, config.dense_fallback_max_n
+    try:
+        config.dense_max_n = 512
+        config.dense_fallback_max_n = 1536
+        assert executor.pallas_route(256, np.complex64, mode="tpu") == "dense"
+        assert executor.pallas_route(512, np.complex64, mode="tpu") == "dense"
+        # fallback band: primes get dense; aligned sizes keep their tier
+        assert executor.pallas_route(1009, np.complex64, mode="tpu") == "dense"
+        assert executor.pallas_route(1024, np.complex64, mode="tpu") == "lanepack"
+        assert executor.pallas_route(2048, np.complex64, mode="tpu") == "lanepack"
+        # past the fallback cap: unrouted as before
+        assert executor.pallas_route(7919, np.complex64, mode="tpu") is None
+    finally:
+        config.dense_max_n = old_max
+        config.dense_fallback_max_n = old_fb
+
+
 @pytest.mark.parametrize("p", [257, 769])
 @pytest.mark.parametrize(
     "direction", [FftDirection.FORWARD, FftDirection.INVERSE]
