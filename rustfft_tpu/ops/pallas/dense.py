@@ -53,6 +53,14 @@ def _n_pad(n: int) -> int:
     return -(-n // LANES) * LANES
 
 
+def _pack_group(n: int) -> int:
+    """Transforms packed per lane row (block-diagonal weights): for n < 128
+    the single-transform row wastes most of the vreg lane width AND most of
+    the padded weight matrix; packing g = 128//n transforms per row makes
+    both dense.  1 for n >= 128."""
+    return max(1, LANES // n)
+
+
 def _passes(precision) -> int:
     return {"bf16x3": 3, "bf16x2": 2, "bf16": 1}.get(precision, 3)
 
@@ -123,16 +131,23 @@ def make_dense_fft_fn(
     precision=None,
     variant: str = "gauss",
     batch_tile: int = 128,
+    pack: Optional[int] = None,
 ) -> Callable:
     """Return fn: Cplx (..., n) -> Cplx (..., n): unnormalized DFT via one
-    dense MXU matmul per batch tile (reference semantics: algorithm/dft.rs)."""
+    dense MXU matmul per batch tile (reference semantics: algorithm/dft.rs).
+
+    pack: transforms per lane row via block-diagonal weights (default
+    _pack_group: fills the 128-lane vreg for n < 128)."""
     assert np.dtype(dtype) == np.complex64, "dense kernel is c64 only"
     precision = resolve_precision(precision, interpret)
-    npad = _n_pad(n)
+    g = pack or _pack_group(n)
+    L = g * n  # packed row length
+    npad = _n_pad(L)
 
     w = twiddles.dft_matrix(n, direction)  # (n, n) complex, w[j, k]
     wp = np.zeros((npad, npad), np.complex128)
-    wp[:n, :n] = w
+    for i in range(g):
+        wp[i * n : (i + 1) * n, i * n : (i + 1) * n] = w
 
     if variant == "gauss":
         wr = np.ascontiguousarray(wp.real).astype(np.float32)
@@ -142,13 +157,13 @@ def make_dense_fft_fn(
             for m in (wr, wi, wr + wi)
             for t in w_split(m, precision)
         ]
-        kernel = functools.partial(_kernel_gauss, n, npad, precision)
+        kernel = functools.partial(_kernel_gauss, L, npad, precision)
     else:
         top = np.concatenate([wp.real, wp.imag], axis=1)
         bot = np.concatenate([-wp.imag, wp.real], axis=1)
         wb = np.concatenate([top, bot], axis=0).astype(np.float32)  # (2np, 2np)
         tables = list(w_split(wb, precision))
-        kernel = functools.partial(_kernel_block, n, npad, precision)
+        kernel = functools.partial(_kernel_block, L, npad, precision)
 
     cparams = pltpu.CompilerParams(vmem_limit_bytes=config.pallas_vmem_limit)
 
@@ -158,16 +173,16 @@ def make_dense_fft_fn(
         )
 
     def run(xr, xi, bt):
-        batch = xr.shape[0]
+        rows = xr.shape[0]
         bspec = pl.BlockSpec(
-            (bt, n), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM
+            (bt, L), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM
         )
         return pl.pallas_call(
             kernel,
-            grid=(batch // bt,),
+            grid=(rows // bt,),
             in_specs=[bspec, bspec] + [const_spec(t) for t in tables],
             out_specs=[bspec, bspec],
-            out_shape=[jax.ShapeDtypeStruct((batch, n), jnp.float32)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((rows, L), jnp.float32)] * 2,
             compiler_params=cparams,
             interpret=interpret,
         )(xr, xi, *[jnp.asarray(t) for t in tables])
@@ -179,11 +194,18 @@ def make_dense_fft_fn(
         flat_i = xi.reshape(-1, n)
         batch = flat_r.shape[0]
         bt = batch_tile
-        pad = (-batch) % bt
+        # pack g transforms per row (free reshape: rows are contiguous),
+        # then pad the packed-row count to the batch tile
+        pad = (-batch) % (g * bt)
         if pad:
             flat_r = jnp.pad(flat_r, ((0, pad), (0, 0)))
             flat_i = jnp.pad(flat_i, ((0, pad), (0, 0)))
-        out_r, out_i = run(flat_r, flat_i, bt)
+        rows = (batch + pad) // g
+        out_r, out_i = run(
+            flat_r.reshape(rows, L), flat_i.reshape(rows, L), bt
+        )
+        out_r = out_r.reshape(-1, n)
+        out_i = out_i.reshape(-1, n)
         if pad:
             out_r = out_r[:batch]
             out_i = out_i[:batch]

@@ -120,7 +120,8 @@ def test_bluestein_large_conv_pipeline(n, m, direction):
 
 
 @pytest.mark.parametrize(
-    "n", [64, 128, 243, 500, 512, 1009, 1234]  # pow2, 3^5, misaligned, primes
+    "n", [32, 64, 128, 243, 500, 512, 1009, 1234]  # pow2 (packed rows for
+    # n < 128), 3^5, misaligned, primes
 )
 @pytest.mark.parametrize("variant", ["gauss", "block"])
 def test_dense_matmul_kernel(n, variant):

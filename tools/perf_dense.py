@@ -19,7 +19,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from perf_lanepack import time_fn  # noqa: E402
 
-DEFAULT_SIZES = [64, 128, 256, 500, 512, 729, 1009, 1024, 1234, 1536]
+DEFAULT_SIZES = [32, 64, 128, 256, 500, 512, 729, 1009, 1024, 1234, 1536, 2003]
 
 
 def main():
@@ -55,20 +55,25 @@ def main():
         rel = np.mean(np.abs(out - ref)) / np.mean(np.abs(ref))
         print(f"  gauss rel err = {rel:.3e}", flush=True)
 
-        for variant in ("gauss", "block"):
-            for bt in (64, 128):
-                try:
-                    fn = dense.make_dense_fft_fn(
-                        n, direction, np.complex64,
-                        variant=variant, batch_tile=bt,
-                    )
-                    t = time_fn(fn, re, im, iters=8)
-                except Exception as e:  # noqa: BLE001
-                    print(f"  dense {variant:<5} bt={bt:<3} FAILED "
-                          f"{str(e)[:200]}", flush=True)
-                    continue
-                print(f"  dense {variant:<5} bt={bt:<3} {t*1e3:9.3f} ms "
-                      f"{gf(t):8.1f} GF/s", flush=True)
+        runs = [("gauss", 64, None, None), ("gauss", 128, None, None),
+                ("block", 64, None, None), ("block", 128, None, None),
+                ("gauss", 128, None, "bf16x2")]
+        if n <= 256:  # wider packed rows: 2 vregs of lanes
+            runs.append(("gauss", 128, 2 * dense._pack_group(n), None))
+        for variant, bt, pack, prec in runs:
+            label = f"dense {variant:<5} bt={bt:<3}" + (
+                f" g={pack}" if pack else ""
+            ) + (f" {prec}" if prec else "")
+            try:
+                fn = dense.make_dense_fft_fn(
+                    n, direction, np.complex64,
+                    variant=variant, batch_tile=bt, pack=pack, precision=prec,
+                )
+                t = time_fn(fn, re, im, iters=8)
+            except Exception as e:  # noqa: BLE001
+                print(f"  {label} FAILED {str(e)[:200]}", flush=True)
+                continue
+            print(f"  {label} {t*1e3:9.3f} ms {gf(t):8.1f} GF/s", flush=True)
 
         # incumbent route (dense knobs default off)
         plan = FftPlanner().plan_fft_forward(n)
