@@ -225,7 +225,9 @@ def mxu_flops_per_point(n: int):
             return per_m * m / n
         from rustfft_tpu.ops.pallas import convlarge
 
-        if isinstance(recipe, recipes.Bluesteins) and convlarge.bconv_supported(
+        if config.use_bconv_fused and isinstance(
+            recipe, recipes.Bluesteins
+        ) and convlarge.bconv_supported(
             m, np.complex64
         ) and executor.pallas_route(m, np.complex64, mode="tpu") == "large":
             p, q1, q2 = large.choose_pqq(m)

@@ -107,6 +107,14 @@ class FftConfig:
     #: six-step there).
     largepad_min_n: int = 65536
 
+    #: Route huge-prime Bluestein transforms whose inner m rides the large
+    #: two-kernel tier through the fused 3-kernel convolution
+    #: (ops/pallas/convlarge.py, ~11 traversals of m vs ~16 glued).
+    #: Default OFF: the kernel passes the interpret-mode suite but has not
+    #: compiled on hardware yet (both sweep attempts hit a dead tunnel) —
+    #: run tools/perf_bconv.py on the TPU and flip after it validates.
+    use_bconv_fused: bool = False
+
     #: Smallest Bluestein/Rader inner length m routed to the two-kernel
     #: radix-structured convolution core (ops/pallas/conv_radix.py) instead
     #: of the dense single-kernel core.  Needs m = r*128*128, r a power of

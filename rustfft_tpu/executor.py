@@ -226,7 +226,7 @@ def build(
         config.pallas_vmem_limit, config.matmul_precision,
         config.conv_radix_min_m, config.rader_gather, config.large3_min_n,
         config.largepad_min_n, config.large2f_min_n, config.dense_max_n,
-        config.dense_fallback_max_n,
+        config.dense_fallback_max_n, config.use_bconv_fused,
     )
     fn = _CACHE.get(key)
     if fn is None:
@@ -315,7 +315,8 @@ def _build(
                     interpret=(mode == "interpret"),
                 )
             if (
-                convlarge.bconv_supported(m, dtype)
+                config.use_bconv_fused
+                and convlarge.bconv_supported(m, dtype)
                 and pallas_route(m, dtype, mode) == "large"
             ):
                 # huge inner on the large tier: the 3-kernel fused
