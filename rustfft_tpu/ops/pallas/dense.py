@@ -132,17 +132,23 @@ def make_dense_fft_fn(
     variant: str = "gauss",
     batch_tile: int = 128,
     pack: Optional[int] = None,
+    aligned: bool = False,
 ) -> Callable:
     """Return fn: Cplx (..., n) -> Cplx (..., n): unnormalized DFT via one
     dense MXU matmul per batch tile (reference semantics: algorithm/dft.rs).
 
     pack: transforms per lane row via block-diagonal weights (default
-    _pack_group: fills the 128-lane vreg for n < 128)."""
+    _pack_group: fills the 128-lane vreg for n < 128).
+    aligned: pad rows to the 128-lane multiple in XLA *outside* the kernel
+    so every block spec is lane-aligned and the kernel does no in-kernel
+    lane concat/slice — the compile-safe fallback if Mosaic rejects the
+    whole-dim lane-block form at misaligned n (costs one extra pad copy)."""
     assert np.dtype(dtype) == np.complex64, "dense kernel is c64 only"
     precision = resolve_precision(precision, interpret)
     g = pack or _pack_group(n)
     L = g * n  # packed row length
     npad = _n_pad(L)
+    Lk = npad if aligned else L  # kernel-visible row length
 
     w = twiddles.dft_matrix(n, direction)  # (n, n) complex, w[j, k]
     wp = np.zeros((npad, npad), np.complex128)
@@ -157,13 +163,13 @@ def make_dense_fft_fn(
             for m in (wr, wi, wr + wi)
             for t in w_split(m, precision)
         ]
-        kernel = functools.partial(_kernel_gauss, L, npad, precision)
+        kernel = functools.partial(_kernel_gauss, Lk, npad, precision)
     else:
         top = np.concatenate([wp.real, wp.imag], axis=1)
         bot = np.concatenate([-wp.imag, wp.real], axis=1)
         wb = np.concatenate([top, bot], axis=0).astype(np.float32)  # (2np, 2np)
         tables = list(w_split(wb, precision))
-        kernel = functools.partial(_kernel_block, L, npad, precision)
+        kernel = functools.partial(_kernel_block, Lk, npad, precision)
 
     cparams = pltpu.CompilerParams(vmem_limit_bytes=config.pallas_vmem_limit)
 
@@ -175,14 +181,14 @@ def make_dense_fft_fn(
     def run(xr, xi, bt):
         rows = xr.shape[0]
         bspec = pl.BlockSpec(
-            (bt, L), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM
+            (bt, Lk), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM
         )
         return pl.pallas_call(
             kernel,
             grid=(rows // bt,),
             in_specs=[bspec, bspec] + [const_spec(t) for t in tables],
             out_specs=[bspec, bspec],
-            out_shape=[jax.ShapeDtypeStruct((rows, L), jnp.float32)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((rows, Lk), jnp.float32)] * 2,
             compiler_params=cparams,
             interpret=interpret,
         )(xr, xi, *[jnp.asarray(t) for t in tables])
@@ -201,9 +207,15 @@ def make_dense_fft_fn(
             flat_r = jnp.pad(flat_r, ((0, pad), (0, 0)))
             flat_i = jnp.pad(flat_i, ((0, pad), (0, 0)))
         rows = (batch + pad) // g
-        out_r, out_i = run(
-            flat_r.reshape(rows, L), flat_i.reshape(rows, L), bt
-        )
+        flat_r = flat_r.reshape(rows, L)
+        flat_i = flat_i.reshape(rows, L)
+        if aligned and npad != L:
+            flat_r = jnp.pad(flat_r, ((0, 0), (0, npad - L)))
+            flat_i = jnp.pad(flat_i, ((0, 0), (0, npad - L)))
+        out_r, out_i = run(flat_r, flat_i, bt)
+        if aligned and npad != L:
+            out_r = out_r[:, :L]
+            out_i = out_i[:, :L]
         out_r = out_r.reshape(-1, n)
         out_i = out_i.reshape(-1, n)
         if pad:

@@ -141,6 +141,23 @@ def test_dense_matmul_kernel(n, variant):
         assert err < 1e-2, (n, variant, direction, err)
 
 
+@pytest.mark.parametrize("n", [100, 500, 1009])
+def test_dense_matmul_kernel_aligned(n):
+    """aligned=True pads rows outside the kernel (128-aligned block specs,
+    no in-kernel lane concat/slice) — the compile-safe fallback for
+    misaligned n if Mosaic rejects the whole-dim lane-block form."""
+    from rustfft_tpu.ops.pallas import dense
+
+    fn = dense.make_dense_fft_fn(
+        n, FftDirection.FORWARD, np.complex64, interpret=True, aligned=True
+    )
+    sig = random_signal(3 * n, dtype=np.complex64, seed=n).reshape(3, n)
+    o_r, o_i = fn((sig.real, sig.imag))
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    err = mean_element_error(out, oracle_dft(sig, FftDirection.FORWARD))
+    assert err < 1e-2, (n, err)
+
+
 def test_dense_route_knobs():
     """dense_max_n / dense_fallback_max_n gate the dense tier (defaults off
     pending hardware measurement)."""

@@ -55,19 +55,25 @@ def main():
         rel = np.mean(np.abs(out - ref)) / np.mean(np.abs(ref))
         print(f"  gauss rel err = {rel:.3e}", flush=True)
 
-        runs = [("gauss", 64, None, None), ("gauss", 128, None, None),
-                ("block", 64, None, None), ("block", 128, None, None),
-                ("gauss", 128, None, "bf16x2")]
+        runs = [("gauss", 64, None, None, False),
+                ("gauss", 128, None, None, False),
+                ("block", 64, None, None, False),
+                ("block", 128, None, None, False),
+                ("gauss", 128, None, "bf16x2", False)]
         if n <= 256:  # wider packed rows: 2 vregs of lanes
-            runs.append(("gauss", 128, 2 * dense._pack_group(n), None))
-        for variant, bt, pack, prec in runs:
+            runs.append(("gauss", 128, 2 * dense._pack_group(n), None, False))
+        if (max(1, 128 // n) * n) % 128:  # misaligned rows: aligned fallback
+            runs.append(("gauss", 128, None, None, True))
+            runs.append(("block", 128, None, None, True))
+        for variant, bt, pack, prec, aligned in runs:
             label = f"dense {variant:<5} bt={bt:<3}" + (
                 f" g={pack}" if pack else ""
-            ) + (f" {prec}" if prec else "")
+            ) + (f" {prec}" if prec else "") + (" aligned" if aligned else "")
             try:
                 fn = dense.make_dense_fft_fn(
                     n, direction, np.complex64,
                     variant=variant, batch_tile=bt, pack=pack, precision=prec,
+                    aligned=aligned,
                 )
                 t = time_fn(fn, re, im, iters=8)
             except Exception as e:  # noqa: BLE001
