@@ -261,6 +261,33 @@ def bench_numpy(n: int, batch_cap: int = 1 << 22, iters: int = 3):
 
 
 def main():
+    # Bounded device acquisition: when the tunneled chip is unreachable,
+    # jax.devices() blocks forever inside the plugin — emit the JSON line
+    # with an error instead of hanging the caller.
+    import os
+    import threading
+
+    probe = threading.Thread(
+        target=lambda: __import__("jax").devices(), daemon=True
+    )
+    probe.start()
+    probe.join(600)
+    if probe.is_alive():
+        print(
+            json.dumps(
+                {
+                    "metric": "batched c64 FFT GFLOP/s",
+                    "value": 0.0,
+                    "unit": "GFLOP/s (5N log2 N)",
+                    "vs_baseline": 0.0,
+                    "error": "device unavailable: jax.devices() did not "
+                    "return within 600s (TPU tunnel down)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(1)
+
     # remote AOT compiles on the tunneled chip run ~30-60s per shape; persist
     # executables so reruns (and repeated driver invocations) skip them
     from rustfft_tpu.config import enable_persistent_compilation_cache
