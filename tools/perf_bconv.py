@@ -48,11 +48,14 @@ def main():
             n, m, direction, np.complex64
         )
         x = (rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))).astype(np.complex64)
-        o_r, o_i = fn_fused((x.real.astype(np.float32), x.imag.astype(np.float32)))
-        out = np.asarray(o_r) + 1j * np.asarray(o_i)
-        ref = np.fft.fft(x.astype(np.complex128), axis=-1)
-        rel = np.mean(np.abs(out - ref)) / np.mean(np.abs(ref))
-        print(f"  fused rel err = {rel:.3e}", flush=True)
+        try:
+            o_r, o_i = fn_fused((x.real.astype(np.float32), x.imag.astype(np.float32)))
+            out = np.asarray(o_r) + 1j * np.asarray(o_i)
+            ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+            rel = np.mean(np.abs(out - ref)) / np.mean(np.abs(ref))
+            print(f"  fused rel err = {rel:.3e}", flush=True)
+        except Exception as e:  # noqa: BLE001 — keep the glued baseline alive
+            print(f"  fused accuracy check FAILED {str(e)[:300]}", flush=True)
 
         batch = max(4, min(1 << 16, (1 << 26) // n))
         re = jax.device_put((rng.standard_normal((batch, n)) * 1e-30).astype(np.float32))

@@ -47,13 +47,16 @@ def main():
         print(f"n={n} batch={batch}", flush=True)
 
         # accuracy spot check on hardware (gauss, default precision)
-        fn = dense.make_dense_fft_fn(n, direction, np.complex64)
         xs = (rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))).astype(np.complex64)
-        o_r, o_i = fn((xs.real.astype(np.float32), xs.imag.astype(np.float32)))
-        out = np.asarray(o_r) + 1j * np.asarray(o_i)
-        ref = np.fft.fft(xs.astype(np.complex128), axis=-1)
-        rel = np.mean(np.abs(out - ref)) / np.mean(np.abs(ref))
-        print(f"  gauss rel err = {rel:.3e}", flush=True)
+        try:
+            fn = dense.make_dense_fft_fn(n, direction, np.complex64)
+            o_r, o_i = fn((xs.real.astype(np.float32), xs.imag.astype(np.float32)))
+            out = np.asarray(o_r) + 1j * np.asarray(o_i)
+            ref = np.fft.fft(xs.astype(np.complex128), axis=-1)
+            rel = np.mean(np.abs(out - ref)) / np.mean(np.abs(ref))
+            print(f"  gauss rel err = {rel:.3e}", flush=True)
+        except Exception as e:  # noqa: BLE001 — keep the variant sweep alive
+            print(f"  gauss accuracy check FAILED {str(e)[:300]}", flush=True)
 
         runs = [("gauss", 64, None, None, False),
                 ("gauss", 128, None, None, False),
