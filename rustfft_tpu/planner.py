@@ -105,7 +105,14 @@ class _PlannerBase:
         threshold, all mutable config — recipes designed under one setting
         must not be served under another (the executor cache, which had the
         same class of bug, keys on its config inputs the same way).
+
+        Planners with a native designer (`_native_design`) key on
+        `config.use_native`: the C++ plancore and the Python tree are
+        parity-pinned (tests/test_native.py), so mixing them is benign in
+        practice, but the key keeps the hygiene uniform.
         """
+        if self._native_design:
+            return (bool(config.use_native),)
         return ()
 
     # -- recipe design entry (plan.rs:312-323) --
