@@ -100,6 +100,14 @@ class FftConfig:
     #: 2-kernel pipeline's 4 traversals win (2^20: 842 vs 723).
     large3_min_n: int = 1 << 22
 
+    #: Smallest transform routed to the FACTORED-twiddle 3-kernel pipeline
+    #: ("large3f": large3's structure + large2f's tiny factorized tables,
+    #: so P2 extends past 16 and the envelope reaches 2^26 — the size
+    #: where large2f's only split exhausts VMEM).  Default: only past
+    #: large2f's measured 2^25 edge; lower it to A/B the factored tables
+    #: at 2^22..2^24 (tools/perf_large3f.py).
+    large3f_min_n: int = 1 << 26
+
     #: Smallest lane-misaligned composite routed to the padded-lane
     #: pipeline (ops/pallas/largepad.py).  Measured on v5e: wins at 78125
     #: (324 vs XLA 204 GF/s) but loses below (59049: 212 vs 250, 19683:
@@ -146,8 +154,12 @@ class FftConfig:
     #: Throughput tiers: "bf16x2" (2 passes, ~1e-4-grade — drops the
     #: x_lo@w_hi pass AND the per-tile x_lo split) and "bf16" (1 pass,
     #: ~1e-3-grade).  All clear the reference's 0.1 mean-error tolerance
-    #: by orders of magnitude.  Other accepted values:
-    #: jax.lax.Precision.HIGHEST / .DEFAULT.
+    #: by orders of magnitude.  Single-dot "cat" tiers "bf16x3s"/"bf16x2s"
+    #: compute the SAME terms as bf16x3/bf16x2 in ONE MXU dot over a
+    #: concatenated contraction axis (identical accuracy, 1 MXU op per
+    #: stage instead of 3-6 — the designed attack on the op-count-bound
+    #: small-n band; staged pending a hardware sweep, tools/perf_cat.py).
+    #: Other accepted values: jax.lax.Precision.HIGHEST / .DEFAULT.
     pallas_precision: object = "bf16x3"
 
     #: Scoped VMEM budget for Pallas kernels (bytes).  The TPU default is

@@ -16,6 +16,8 @@ hashable data.
 """
 from __future__ import annotations
 
+import functools
+
 from collections import OrderedDict
 from typing import Callable, Optional, Tuple
 
@@ -141,6 +143,14 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
         large_min, config.large2f_min_n
     ) and large2f.large2f_supported(n, dtype):
         return "large2f"
+    # tier 5.5: past large2f's VMEM edge (2^26: the only split's pass-1
+    # block exhausts VMEM) the factored-twiddle 3-kernel pipeline takes
+    # over — large3's structure with large2f's tiny tables, so the P2 <= 16
+    # table cap doesn't apply
+    if n >= max(large_min, config.large3f_min_n) and large3.large3f_supported(
+        n, dtype
+    ):
+        return "large3f"
     if n >= max(large_min, config.large3_min_n) and large3.large3_supported(
         n, dtype
     ):
@@ -184,6 +194,7 @@ def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[
         "large": large.make_large_fft_fn,
         "large2f": large2f.make_large2f_fft_fn,
         "large3": large3.make_large3_fft_fn,
+        "large3f": functools.partial(large3.make_large3_fft_fn, factored=True),
         "large_pad": largepad.make_largepad_fft_fn,
         "three_stage": fused.make_fused_three_stage_fn,
         "two_stage": fused.make_fused_two_stage_fn,
@@ -227,6 +238,7 @@ def build(
         config.conv_radix_min_m, config.rader_gather, config.large3_min_n,
         config.largepad_min_n, config.large2f_min_n, config.dense_max_n,
         config.dense_fallback_max_n, config.use_bconv_fused,
+        config.large3f_min_n,
     )
     fn = _CACHE.get(key)
     if fn is None:

@@ -44,7 +44,8 @@ from ...common import FftDirection
 from ...config import config
 from ... import twiddles
 from .util import i32map
-from .fused import contract_rhs as _contract, resolve_precision, w_split
+from .fused import (CAT_TIERS, contract_rhs as _contract,
+                    resolve_precision, w_split)
 
 LANES = 128
 
@@ -62,7 +63,9 @@ def _pack_group(n: int) -> int:
 
 
 def _passes(precision) -> int:
-    return {"bf16x3": 3, "bf16x2": 2, "bf16": 1}.get(precision, 3)
+    # cat tiers ship one (out, passes*K) table: same bytes as `passes` tables
+    return {"bf16x3": 3, "bf16x2": 2, "bf16": 1,
+            "bf16x3s": 3, "bf16x2s": 2}.get(precision, 3)
 
 
 def _weight_bytes(n: int, variant: str, precision) -> int:
@@ -98,7 +101,8 @@ def _kernel_gauss(n, npad, precision, xr_ref, xi_ref, wr_hi_ref, wr_lo_ref,
         pad = jnp.zeros((xr.shape[0], npad - n), jnp.float32)
         xr = jnp.concatenate([xr, pad], axis=1)
         xi = jnp.concatenate([xi, pad], axis=1)
-    dims = (((1,), (0,)), ((), ()))
+    # cat tiers ship transposed tables (w_split concatenates along axis 1)
+    dims = ((((1,), (1,)) if precision in CAT_TIERS else ((1,), (0,))), ((), ()))
     p1 = _contract(xr, wr_hi_ref[:], wr_lo_ref[:], dims, precision)
     p2 = _contract(xi, wi_hi_ref[:], wi_lo_ref[:], dims, precision)
     p3 = _contract(xr + xi, ws_hi_ref[:], ws_lo_ref[:], dims, precision)
@@ -116,9 +120,8 @@ def _kernel_block(n, npad, precision, xr_ref, xi_ref, wh_ref, wl_ref,
         xr = jnp.concatenate([xr, pad], axis=1)
         xi = jnp.concatenate([xi, pad], axis=1)
     xb = jnp.concatenate([xr, xi], axis=1)  # (bt, 2*npad)
-    d = _contract(
-        xb, wh_ref[:], wl_ref[:], (((1,), (0,)), ((), ())), precision
-    )  # (bt, 2*npad)
+    dims = ((((1,), (1,)) if precision in CAT_TIERS else ((1,), (0,))), ((), ()))
+    d = _contract(xb, wh_ref[:], wl_ref[:], dims, precision)  # (bt, 2*npad)
     or_ref[:] = d[:, :n]
     oi_ref[:] = d[:, npad : npad + n]
 
@@ -155,20 +158,21 @@ def make_dense_fft_fn(
     for i in range(g):
         wp[i * n : (i + 1) * n, i * n : (i + 1) * n] = w
 
+    cat_t = (lambda m: m.T) if precision in CAT_TIERS else (lambda m: m)
     if variant == "gauss":
         wr = np.ascontiguousarray(wp.real).astype(np.float32)
         wi = np.ascontiguousarray(wp.imag).astype(np.float32)
         tables = [
             t
             for m in (wr, wi, wr + wi)
-            for t in w_split(m, precision)
+            for t in w_split(cat_t(m), precision)
         ]
         kernel = functools.partial(_kernel_gauss, Lk, npad, precision)
     else:
         top = np.concatenate([wp.real, wp.imag], axis=1)
         bot = np.concatenate([-wp.imag, wp.real], axis=1)
         wb = np.concatenate([top, bot], axis=0).astype(np.float32)  # (2np, 2np)
-        tables = list(w_split(wb, precision))
+        tables = list(w_split(cat_t(wb), precision))
         kernel = functools.partial(_kernel_block, Lk, npad, precision)
 
     cparams = pltpu.CompilerParams(vmem_limit_bytes=config.pallas_vmem_limit)

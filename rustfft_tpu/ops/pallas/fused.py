@@ -117,6 +117,18 @@ def _pick_batch_tile(batch: int, p: int, q: int) -> int:
 #: tolerance (accuracy.rs:30-37) clears all three by orders of magnitude.
 BF16_TIERS = ("bf16x3", "bf16x2", "bf16")
 
+#: single-dot ("cat") tiers: the SAME terms as the matching multi-dot tier,
+#: but issued as ONE MXU dot over a concatenated contraction axis —
+#: w_cat = [w_hi | w_lo | w_hi] against x_cat = [x_hi ; x_hi ; x_lo].
+#: Identical accuracy to bf16x3/bf16x2 (term-for-term the same products,
+#: f32 MXU accumulation), at 1 MXU instruction per stage instead of 3/2 and
+#: zero f32 output adds.  For contraction widths K with 3K <= 128 (all
+#: lanepack butterfly stages) the concatenated dot costs the SAME single
+#: MXU K-pass as ONE of the three dots it replaces — the small-n band is
+#: op-count-bound (CLAUDE.md anatomy), so this is the designed attack on it.
+#: Values: maps tier name -> number of bf16 passes represented.
+CAT_TIERS = {"bf16x3s": 3, "bf16x2s": 2}
+
 
 def _split_bf16(w: np.ndarray):
     """Split an f32 matrix into (hi, lo) bf16 parts with w ~= hi + lo."""
@@ -133,9 +145,67 @@ def w_split(w: np.ndarray, precision):
     bf16 tiers ship true splits; XLA Precision tiers ship (f32, tiny-dummy)
     — the lo half is unused but keeps kernel signatures uniform.
     """
+    if precision in CAT_TIERS:
+        # one concatenated-K table in the hi slot; the lo slot ships a
+        # minimal VREG-shaped dummy (Mosaic rejects sub-(8, 128) blocks)
+        return w_cat(w, precision), np.zeros((8, 128), np.float32)
     if precision in BF16_TIERS:
         return _split_bf16(w)
     return w, np.zeros_like(w, dtype=jnp.bfloat16)
+
+
+def w_cat(w: np.ndarray, precision) -> np.ndarray:
+    """Concatenated-K weight table for the single-dot cat tiers.
+
+    w is a (out, K) matrix contracted along axis 1 (every kernel's
+    convention except dense.py, which transposes for cat).  Returns
+    (out, 3K) [w_hi | w_lo | w_hi] for bf16x3s, (out, 2K) for bf16x2s.
+    """
+    hi, lo = _split_bf16(np.ascontiguousarray(w))
+    blocks = [hi, lo, hi] if CAT_TIERS[precision] == 3 else [hi, lo]
+    return np.concatenate(blocks, axis=1)
+
+
+def w_cat_pair(wA: np.ndarray, wB: np.ndarray, precision) -> np.ndarray:
+    """Concatenated-K table merging the complex PAIR contraction too.
+
+    For weights-as-lhs kernels that currently compute
+    dot(wA, xr) + dot(wB, xi) (wA/wB the K-halves of a block DFT matrix),
+    the merged table [wA_hi|wA_lo|wA_hi|wB_hi|wB_lo|wB_hi] against
+    x_cat = [xr_hi;xr_hi;xr_lo;xi_hi;xi_hi;xi_lo] computes the whole
+    complex bf16x3 stage in ONE dot (6 dots + 5 f32 adds otherwise).
+    """
+    wA_hi, wA_lo = _split_bf16(np.ascontiguousarray(wA))
+    wB_hi, wB_lo = _split_bf16(np.ascontiguousarray(wB))
+    if CAT_TIERS[precision] == 3:
+        blocks = [wA_hi, wA_lo, wA_hi, wB_hi, wB_lo, wB_hi]
+    else:
+        blocks = [wA_hi, wA_lo, wB_hi, wB_lo]
+    return np.concatenate(blocks, axis=1)
+
+
+def _cat_single(x: jnp.ndarray, cdim: int, passes: int) -> jnp.ndarray:
+    """[x_hi; x_hi; x_lo] (or [x_hi; x_hi]) along the contraction axis."""
+    x_hi = x.astype(jnp.bfloat16)
+    if passes == 3:
+        x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        parts = [x_hi, x_hi, x_lo]
+    else:
+        parts = [x_hi, x_hi]
+    return jnp.concatenate(parts, axis=cdim)
+
+
+def _cat_pair(xr, xi, cdim: int, passes: int) -> jnp.ndarray:
+    """Pair form: [xr_hi;xr_hi;xr_lo;xi_hi;xi_hi;xi_lo] along cdim."""
+    xr_hi = xr.astype(jnp.bfloat16)
+    xi_hi = xi.astype(jnp.bfloat16)
+    if passes == 3:
+        xr_lo = (xr - xr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        xi_lo = (xi - xi_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        parts = [xr_hi, xr_hi, xr_lo, xi_hi, xi_hi, xi_lo]
+    else:
+        parts = [xr_hi, xr_hi, xi_hi, xi_hi]
+    return jnp.concatenate(parts, axis=cdim)
 
 
 def resolve_precision(precision, interpret: bool):
@@ -150,6 +220,9 @@ def resolve_precision(precision, interpret: bool):
         precision = config.pallas_precision
     if interpret and precision in BF16_TIERS:
         return jax.lax.Precision.HIGHEST
+    # cat tiers survive interpret mode: the hi/lo parts are CONCATENATED
+    # DATA inside one dot, so XLA's dot merger has nothing to re-fuse or
+    # cancel — interpret-mode accuracy tests of cat tiers are faithful.
     return precision
 
 
@@ -210,6 +283,16 @@ def _dot2_wlhs(w_hi, w_lo, x: jnp.ndarray, dims):
 
 def contract_rhs(x, w_hi, w_lo, dims, precision):
     """Precision-dispatching contraction with x as lhs (shared by kernels)."""
+    if precision in CAT_TIERS:
+        # w_hi holds the concatenated-K table (w_split); w_lo is unused
+        assert dims[0][1] == (1,), (
+            "cat tiers need the weight contracted along axis 1; "
+            f"got dims {dims}"
+        )
+        x_cat = _cat_single(x, dims[0][0][0], CAT_TIERS[precision])
+        return jax.lax.dot_general(
+            x_cat, w_hi, dims, preferred_element_type=jnp.float32
+        )
     if precision == "bf16x3":
         return _dot3(x, w_hi, w_lo, dims)
     if precision == "bf16x2":
@@ -226,6 +309,15 @@ def contract_rhs(x, w_hi, w_lo, dims, precision):
 
 def contract_wlhs(w_hi, w_lo, x, dims, precision):
     """Precision-dispatching contraction with the weights as lhs."""
+    if precision in CAT_TIERS:
+        assert dims[0][0] == (1,), (
+            "cat tiers need the weight contracted along axis 1; "
+            f"got dims {dims}"
+        )
+        x_cat = _cat_single(x, dims[0][1][0], CAT_TIERS[precision])
+        return jax.lax.dot_general(
+            w_hi, x_cat, dims, preferred_element_type=jnp.float32
+        )
     if precision == "bf16x3":
         return _dot3_wlhs(w_hi, w_lo, x, dims)
     if precision == "bf16x2":
@@ -251,6 +343,20 @@ def contract_pair(xr, xi, wA, wB, dims, precision):
     (wA_hi, wA_lo), (wB_hi, wB_lo) = wA, wB
     return contract_rhs(xr, wA_hi, wA_lo, dims, precision) + contract_rhs(
         xi, wB_hi, wB_lo, dims, precision
+    )
+
+
+def contract_pair_cat_wlhs(w_pair_cat, xr, xi, cdim, precision):
+    """Whole complex-pair bf16 stage as ONE weights-as-lhs MXU dot.
+
+    w_pair_cat: host table from w_cat_pair() — (out, 6K) for bf16x3s.
+    Contracts x's axis cdim (a sublane/leading axis: lane-dim concats are
+    illegal in VMEM, sublane concats are cheap).
+    """
+    x_cat = _cat_pair(xr, xi, cdim, CAT_TIERS[precision])
+    dims = (((1,), (cdim,)), ((), ()))
+    return jax.lax.dot_general(
+        w_pair_cat, x_cat, dims, preferred_element_type=jnp.float32
     )
 
 

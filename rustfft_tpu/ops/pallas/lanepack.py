@@ -40,7 +40,8 @@ from ...common import FftDirection
 from ...config import config
 from ... import twiddles
 from .. import calg
-from .fused import contract_wlhs, resolve_precision, w_split
+from .fused import (CAT_TIERS, contract_pair_cat_wlhs, contract_wlhs,
+                    resolve_precision, w_cat_pair, w_split)
 
 from .util import i32map
 
@@ -141,12 +142,17 @@ def _fft_sublane(vr, vi, n, radices, w_refs, tw_refs, precision, lanes):
     """
     k = len(radices)
 
-    def stage(s, vr, vi, cdim):
-        dims = (((1,), (cdim,)), ((), ()))
-        wA_hi, wA_lo, wB_hi, wB_lo = (w_refs[4 * s + t][:] for t in range(4))
-        return contract_wlhs(wA_hi, wA_lo, vr, dims, precision) + contract_wlhs(
-            wB_hi, wB_lo, vi, dims, precision
-        )
+    if precision in CAT_TIERS:
+        # merged single-dot stage: one table per stage (see _stage_consts)
+        def stage(s, vr, vi, cdim):
+            return contract_pair_cat_wlhs(w_refs[s][:], vr, vi, cdim, precision)
+    else:
+        def stage(s, vr, vi, cdim):
+            dims = (((1,), (cdim,)), ((), ()))
+            wA_hi, wA_lo, wB_hi, wB_lo = (w_refs[4 * s + t][:] for t in range(4))
+            return contract_wlhs(wA_hi, wA_lo, vr, dims, precision) + contract_wlhs(
+                wB_hi, wB_lo, vi, dims, precision
+            )
 
     # Stage 1 runs on a 3D (r, rest, lanes) view contracting dim 0 — the
     # rank-4 (1, r, rest, lanes) form used previously makes Mosaic assign a
@@ -192,9 +198,13 @@ def _stage_consts(n, radices, direction, precision):
     consts = []
     for r in radices:
         w = calg.block_mid(twiddles.dft_matrix(r, direction), rdt)  # (2r, 2r)
-        # K-halves for the concat-free stages: wA against re, wB against im
-        for half in (w[:, :r], w[:, r:]):
-            consts.extend(w_split(np.ascontiguousarray(half), precision))
+        if precision in CAT_TIERS:
+            # merged single-dot table: whole complex stage in one (2r, 6r)
+            consts.append(w_cat_pair(w[:, :r], w[:, r:], precision))
+        else:
+            # K-halves for the concat-free stages: wA on re, wB on im
+            for half in (w[:, :r], w[:, r:]):
+                consts.extend(w_split(np.ascontiguousarray(half), precision))
     # inter-stage twiddles: after contracting r_s, twiddle w_{r_s*rest}^(k_s*j)
     rest = n
     for r in radices[:-1]:
@@ -219,8 +229,10 @@ def _kernel(n, radices, g, precision, stack, xr_ref, xi_ref, *refs):
     instead of g separate transpose/dot chains.
     """
     k = len(radices)
-    w_refs = refs[: 4 * k]  # per stage: wA_hi, wA_lo, wB_hi, wB_lo
-    tw_refs = refs[4 * k : 4 * k + 2 * (k - 1)]
+    # per stage: one merged cat table, or wA_hi, wA_lo, wB_hi, wB_lo
+    tps = 1 if precision in CAT_TIERS else 4
+    w_refs = refs[: tps * k]
+    tw_refs = refs[tps * k : tps * k + 2 * (k - 1)]
     or_ref, oi_ref = refs[-2:]
     lanes = g * LANES if stack else LANES
     n_groups = 1 if stack else g
@@ -383,10 +395,11 @@ def _conv_kernel(m, n_in, n_out, radices, g, precision, conj_out, has_pre,
     """(g*L, n_in) [b, j] -> (g*L, n_out): pre, FFT_m, conj(.*H), FFT_m,
     maybe-conj, post — all with m on the sublane axis (one transpose pair)."""
     k = len(radices)
-    w_refs = refs[: 4 * k]
-    tw_refs = refs[4 * k : 4 * k + 2 * (k - 1)]
+    tps = 1 if precision in CAT_TIERS else 4
+    w_refs = refs[: tps * k]
+    tw_refs = refs[tps * k : tps * k + 2 * (k - 1)]
     hr_ref, hi_ref, prer_ref, prei_ref, postr_ref, posti_ref = refs[
-        4 * k + 2 * (k - 1) : 4 * k + 2 * (k - 1) + 6
+        tps * k + 2 * (k - 1) : tps * k + 2 * (k - 1) + 6
     ]
     or_ref, oi_ref = refs[-2:]
     lanes = g * LANES

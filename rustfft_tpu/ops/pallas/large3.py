@@ -118,6 +118,58 @@ def large3_supported(n: int, dtype) -> bool:
     return choose_split3(n) is not None
 
 
+def choose_split3f(n: int) -> Optional[Tuple[int, int, int, int, int]]:
+    """Split chooser for the FACTORED-twiddle 3-kernel pipeline (large3f).
+
+    Same constraints as choose_split3 except P2 extends to 128: the factored
+    pass-1 table is (Q, P1) — a few MB — so the (M, P1) literal that forced
+    P2 <= 16 (HTTP 413 at ~134MB) no longer exists, and the P2 FFT's VPU
+    chain is the only P2 cost.  Preference: largest Q, then SMALLEST P2
+    (shallowest radix-2 chain, least Mosaic compile risk), then smallest P1.
+    Covers 2^26 as (P1=256, P2=64, Q=4096) — past both large2f's VMEM edge
+    and large3's table cap.
+    """
+    best = None
+    for p1 in (256, 128):
+        if n % p1:
+            continue
+        m = n // p1
+        for q in (4096, 2048):
+            if m % q:
+                continue
+            p2 = m // q
+            if p2 < 2 or p2 > 128 or (p2 & (p2 - 1)):
+                continue
+            if q % 512 and q != m:  # pass-1 lane tile must divide Q
+                continue
+            inner = None
+            for q1 in range(2, 257):
+                if q % q1:
+                    continue
+                q2 = q // q1
+                if q2 > 256:
+                    continue
+                key = (q1 + q2, abs(q1 - q2))
+                if inner is None or key < inner[0]:
+                    inner = (key, q1, q2)
+            if inner is None:
+                continue
+            _, q1, q2 = inner
+            key = (-q, p2, p1)
+            if best is None or key < best[0]:
+                best = (key, p1, p2, q1, q2)
+    if best is None:
+        return None
+    _, p1, p2, q1, q2 = best
+    return p1, p2, q1, q2, q1 * q2
+
+
+def large3f_supported(n: int, dtype) -> bool:
+    if np.dtype(dtype) != np.complex64:
+        return False
+    return choose_split3f(n) is not None
+
+
 def _kernel_p2(p2, qt2, pt, direction, xr_ref, xi_ref, twr_ref, twi_ref,
                or_ref, oi_ref):
     """(1, P2, qt2, pt) [j2, j3, k1] -> same shape [k2, j3, k1].
@@ -130,6 +182,33 @@ def _kernel_p2(p2, qt2, pt, direction, xr_ref, xi_ref, twr_ref, twi_ref,
     xi = xi_ref[:].reshape(p2, qt2, pt)
     vr_l, vi_l = _vpu_fft_list(
         [xr[j] for j in range(p2)], [xi[j] for j in range(p2)], direction
+    )
+    vr = jnp.stack(vr_l, axis=0)  # (p2, qt2, pt) [k2, j3, k1]
+    vi = jnp.stack(vi_l, axis=0)
+    twr = twr_ref[:].reshape(p2, qt2, 1)
+    twi = twi_ref[:].reshape(p2, qt2, 1)
+    or_ref[:] = (vr * twr - vi * twi)[None]
+    oi_ref[:] = (vr * twi + vi * twr)[None]
+
+
+def _kernel_p2f(p2, qt2, pt, direction, xr_ref, xi_ref, wosr_ref, wosi_ref,
+                twr_ref, twi_ref, or_ref, oi_ref):
+    """Factored-twiddle pass 2: (1, P2, qt2, pt) [j2, j3, k1] -> [k2, j3, k1].
+
+    Applies the j2 half of the factorized outer twiddle
+    w_n^(k1*(j2*Q+j3)) = w_{P1P2}^(k1*j2) * w_n^(k1*j3) — the (P2, pt)
+    streamed block wos[j2, k1] — BEFORE the j2 FFT (pass 1 applied only the
+    w_n^(k1*j3) factor), then runs the radix-2 VPU chain and the mid
+    twiddle exactly like _kernel_p2.
+    """
+    xr = xr_ref[:].reshape(p2, qt2, pt)
+    xi = xi_ref[:].reshape(p2, qt2, pt)
+    wos_r = wosr_ref[:].reshape(p2, 1, pt)  # [j2, k1] broadcast over j3
+    wos_i = wosi_ref[:].reshape(p2, 1, pt)
+    vr = xr * wos_r - xi * wos_i
+    vi = xr * wos_i + xi * wos_r
+    vr_l, vi_l = _vpu_fft_list(
+        [vr[j] for j in range(p2)], [vi[j] for j in range(p2)], direction
     )
     vr = jnp.stack(vr_l, axis=0)  # (p2, qt2, pt) [k2, j3, k1]
     vi = jnp.stack(vi_l, axis=0)
@@ -203,14 +282,23 @@ def make_large3_fft_fn(
     qt: int = 512,
     pt: int = 128,
     qt2: Optional[int] = None,
+    factored: bool = False,
 ) -> Callable:
     """Return fn: Cplx (..., n) -> Cplx (..., n), the three-kernel pipeline.
 
     split = (P1, P2, q1, q2, Q); qt tiles pass 1's lane axis, pt tiles the
     P1 lane axis in passes 2/3, qt2 tiles pass 2's j3 sublane axis.
+
+    factored=True ("large3f"): pass 1 streams only the (Q, P1) j3 factor of
+    the outer twiddle (block row = qi % (Q/qt) — each kernel-A block lies in
+    one j2 since qt | Q), and pass 2 applies the (P2, P1) j2 factor before
+    its VPU chain (_kernel_p2f).  No (M, P1) table exists, so the P2 <= 16
+    cap (the ~134MB HLO literal, HTTP 413) lifts to 128 and the envelope
+    extends to 2^26; the table read per call drops from M*P1 to Q*P1 + P2*P1
+    entries.
     """
     assert np.dtype(dtype) == np.complex64, "large3 kernel is c64/f32 only"
-    sp = split or choose_split3(n)
+    sp = split or (choose_split3f(n) if factored else choose_split3(n))
     assert sp is not None, f"no 3-kernel split for n={n}"
     p1, p2, q1, q2, q = sp
     assert q1 * q2 == q and p1 * p2 * q == n, sp
@@ -222,14 +310,29 @@ def make_large3_fft_fn(
     pt = min(pt, p1)
     if not interpret:
         assert p1 % pt == 0 and pt % 128 == 0 and qt % 128 == 0, (sp, qt, pt)
+    if factored:
+        if qt > q:
+            qt = q
+        assert q % qt == 0, (q, qt)  # kernel-A blocks must not straddle j2
     if qt2 is None:
         qt2 = _pick_qt2(p2, q, pt)
     assert q % qt2 == 0, (q, qt2)
 
-    # pass 1 constants: dense block DFT_P1 + outer twiddle (M, P1) [jrest, k1]
+    # pass 1 constants: dense block DFT_P1 + outer twiddle — (M, P1)
+    # [jrest, k1] in the plain form, or only the (Q, P1) j3 factor
+    # w_n^(j3*k1) when factored (exponent < Q*P1 <= n, exact in f64)
     wp = calg.block_mid(twiddles.dft_matrix(p1, direction), rdt)
     wp_hi, wp_lo = w_split(wp, precision)
-    tw_outer = twiddles.twiddle_table(p1, m, direction).T  # (M, P1)
+    if factored:
+        sign = -1.0 if direction == FftDirection.FORWARD else 1.0
+        e = np.arange(q, dtype=np.int64)[:, None] * np.arange(p1, dtype=np.int64)
+        tw_outer = np.exp(sign * 2j * np.pi * e / n)  # (Q, P1) [j3, k1]
+        # the j2 factor, applied in pass 2: (P2, P1) w_{P1P2}^(j2*k1)
+        wos = twiddles.twiddle_table(p2, p1, direction)
+        wos_r = np.ascontiguousarray(wos.real).astype(rdt)
+        wos_i = np.ascontiguousarray(wos.imag).astype(rdt)
+    else:
+        tw_outer = twiddles.twiddle_table(p1, m, direction).T  # (M, P1)
     twr_o = np.ascontiguousarray(tw_outer.real).astype(rdt)
     twi_o = np.ascontiguousarray(tw_outer.imag).astype(rdt)
 
@@ -248,7 +351,10 @@ def make_large3_fft_fn(
     twi_i = np.ascontiguousarray(tw_inner.imag).astype(rdt)
 
     kernel_a = functools.partial(_large._kernel_a, p1, qt, precision)
-    kernel_p2 = functools.partial(_kernel_p2, p2, qt2, pt, direction)
+    if factored:
+        kernel_p2 = functools.partial(_kernel_p2f, p2, qt2, pt, direction)
+    else:
+        kernel_p2 = functools.partial(_kernel_p2, p2, qt2, pt, direction)
     kernel_q = functools.partial(_kernel_q, q1, q2, pt, precision)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=config.pallas_vmem_limit)
 
@@ -261,9 +367,19 @@ def make_large3_fft_fn(
         batch = xr.shape[0]
 
         # ---- pass 1: (B, P1, M) -> (B, M, P1) [jrest, k1], twiddled ----
-        tw_spec = pl.BlockSpec(
-            (qt, p1), i32map(lambda qi, b: (qi, 0)), memory_space=pltpu.VMEM
-        )
+        if factored:
+            # the (Q, P1) j3-factor table wraps every Q/qt blocks (qt | Q,
+            # so each kernel-A block has a single j2 and j3 = jrest mod Q)
+            blocks_per_j2 = q // qt
+            tw_spec = pl.BlockSpec(
+                (qt, p1),
+                i32map(lambda qi, b: (qi % blocks_per_j2, 0)),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            tw_spec = pl.BlockSpec(
+                (qt, p1), i32map(lambda qi, b: (qi, 0)), memory_space=pltpu.VMEM
+            )
         a_r, a_i = pl.pallas_call(
             kernel_a,
             grid=(m // qt, batch),  # batch fastest: twiddle block stays put
@@ -298,17 +414,38 @@ def make_large3_fft_fn(
         tw_spec2 = pl.BlockSpec(
             (p2, qt2), i32map(lambda qi, pi, b: (0, qi)), memory_space=pltpu.VMEM
         )
-        b_r, b_i = pl.pallas_call(
-            kernel_p2,
-            grid=(q // qt2, p1 // pt, batch),
-            in_specs=[io_spec2, io_spec2, tw_spec2, tw_spec2],
-            out_specs=[io_spec2, io_spec2],
-            out_shape=[
-                jax.ShapeDtypeStruct((batch, p2, q, p1), jnp.float32)
-            ] * 2,
-            compiler_params=cparams,
-            interpret=interpret,
-        )(a_r, a_i, jnp.asarray(twr_m), jnp.asarray(twi_m))
+        if factored:
+            # the j2 outer factor: (P2, pt) lane block keyed by the P1 tile
+            wos_spec = pl.BlockSpec(
+                (p2, pt),
+                i32map(lambda qi, pi, b: (0, pi)),
+                memory_space=pltpu.VMEM,
+            )
+            b_r, b_i = pl.pallas_call(
+                kernel_p2,
+                grid=(q // qt2, p1 // pt, batch),
+                in_specs=[io_spec2, io_spec2, wos_spec, wos_spec,
+                          tw_spec2, tw_spec2],
+                out_specs=[io_spec2, io_spec2],
+                out_shape=[
+                    jax.ShapeDtypeStruct((batch, p2, q, p1), jnp.float32)
+                ] * 2,
+                compiler_params=cparams,
+                interpret=interpret,
+            )(a_r, a_i, jnp.asarray(wos_r), jnp.asarray(wos_i),
+              jnp.asarray(twr_m), jnp.asarray(twi_m))
+        else:
+            b_r, b_i = pl.pallas_call(
+                kernel_p2,
+                grid=(q // qt2, p1 // pt, batch),
+                in_specs=[io_spec2, io_spec2, tw_spec2, tw_spec2],
+                out_specs=[io_spec2, io_spec2],
+                out_shape=[
+                    jax.ShapeDtypeStruct((batch, p2, q, p1), jnp.float32)
+                ] * 2,
+                compiler_params=cparams,
+                interpret=interpret,
+            )(a_r, a_i, jnp.asarray(twr_m), jnp.asarray(twi_m))
 
         # ---- pass 3: FFT_Q over j3; the k2 digit rides the output
         # block's lane offset so each (Q, pt) result lands directly at its

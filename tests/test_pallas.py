@@ -485,7 +485,9 @@ def test_pallas_route_table():
         # every supported size (791/835/858/882 vs 667/689/688/- same-run)
         1 << 22: "large2f", 1 << 23: "large2f", 1 << 24: "large2f",
         1 << 25: "large2f",
-        1 << 26: None,  # P1=256, P2=64 pass-1 block exceeds VMEM
+        # large2f's (256, 64) pass-1 block exceeds VMEM at 2^26; the
+        # factored-twiddle 3-kernel pipeline takes over
+        1 << 26: "large3f",
         3 << 22: None,  # non-pow2 P2 digit -> XLA path
         100: None,      # below pallas_min_n
     }
@@ -782,3 +784,124 @@ def test_largepad_split_chooser_and_routing():
     assert executor.pallas_route(177147, np.complex64, mode="tpu") == "large_pad"
     assert executor.pallas_route(59049, np.complex64, mode="tpu") is None
     assert executor.pallas_route(15625, np.complex64, mode="tpu") is None
+
+
+def test_cat_tiers_match_multidot_terms():
+    """Single-dot cat tiers (bf16x3s/bf16x2s) are term-for-term the same
+    math as bf16x3/bf16x2 issued as ONE MXU dot over a concatenated K.
+    Unlike the multi-dot tiers, they survive interpret mode faithfully
+    (nothing for XLA's dot merger to cancel), so accuracy is pinned HERE:
+    bf16x3s must land at bf16x3 grade (~5e-6 relative), bf16x2s at
+    bf16x2 grade (~2.3e-3, the dropped x_lo bits)."""
+    from rustfft_tpu.ops.pallas import lanepack
+
+    n = 1024
+    sig = random_signal(256 * n, dtype=np.complex64, seed=7).reshape(256, n)
+    re, im = calg.from_numpy(sig, np.float32)
+    expected = oracle_dft(sig, FftDirection.FORWARD)
+
+    errs = {}
+    for prec in ("bf16x3s", "bf16x2s"):
+        fn = lanepack.make_lanepack_fn(
+            n, FftDirection.FORWARD, np.complex64, interpret=True,
+            precision=prec,
+        )
+        out_r, out_i = fn((re, im))
+        out = np.asarray(out_r) + 1j * np.asarray(out_i)
+        errs[prec] = mean_element_error(out, expected)
+    # absolute mean error (reference metric): outputs scale ~sqrt(n)=32,
+    # so bf16x3 grade (5e-6 rel) ~ 2e-4 abs, bf16x2 grade (2.3e-3 rel) ~ 0.09
+    assert errs["bf16x3s"] < 1e-3, errs
+    assert errs["bf16x2s"] < 0.3, errs
+    # the tiers must be genuinely different precisions (x3s keeps x_lo)
+    assert errs["bf16x3s"] < errs["bf16x2s"] / 10, errs
+
+
+@pytest.mark.parametrize("family", ["two_stage", "radix", "dense"])
+def test_cat_tier_kernel_families(family):
+    """bf16x3s threads through every kernel factory via w_split/contract_*
+    (one concatenated table in the hi slot, dummy lo)."""
+    if family == "two_stage":
+        n = 4096
+        fn = fused.make_fused_two_stage_fn(
+            n, FftDirection.FORWARD, np.complex64, interpret=True,
+            precision="bf16x3s",
+        )
+    elif family == "radix":
+        n = 65536
+        fn = fused.make_fused_radix_fn(
+            n, FftDirection.FORWARD, np.complex64, interpret=True,
+            precision="bf16x3s",
+        )
+    elif family == "dense":
+        from rustfft_tpu.ops.pallas import dense
+
+        n = 100
+        fn = dense.make_dense_fft_fn(
+            n, FftDirection.FORWARD, np.complex64, interpret=True,
+            precision="bf16x3s",
+        )
+    batch = 2 if n > 10000 else 8
+    sig = random_signal(batch * n, dtype=np.complex64, seed=n).reshape(batch, n)
+    re, im = calg.from_numpy(sig, np.float32)
+    out_r, out_i = fn((re, im))
+    out = np.asarray(out_r) + 1j * np.asarray(out_i)
+    err = mean_element_error(out, oracle_dft(sig, FftDirection.FORWARD))
+    assert err < 1e-2, (family, err)
+
+
+def test_cat_tier_through_planner(monkeypatch):
+    """config.pallas_precision='bf16x3s' + use_pallas='on': the public plan
+    surface stays correct (executor memo keys on the precision)."""
+    monkeypatch.setattr(config, "use_pallas", "on")
+    monkeypatch.setattr(config, "pallas_precision", "bf16x3s")
+    planner = FftPlanner()
+    # 1237 routes Bluestein through the conv kernel with the cat tier
+    for n in (144, 1024, 1237):
+        plan = planner.plan_fft_forward(n)
+        sig = random_signal(n, dtype=np.complex64, seed=n)
+        out = np.asarray(plan.process(sig))
+        err = mean_element_error(out, oracle_dft(sig, FftDirection.FORWARD))
+        assert err < 1e-3, (n, err)
+
+
+def test_large3f_factored_twiddles_match_oracle():
+    """Factored-twiddle 3-kernel pipeline (large3f): pass 1 streams only the
+    (Q, P1) j3 factor (modular block map) and pass 2 applies the (P2, P1)
+    j2 factor before its VPU chain.  Scaled-down splits, incl. one where
+    the pass-1 table wraps (qt < Q)."""
+    from rustfft_tpu.ops.pallas import large3
+
+    for split, qt, batch in (
+        ((8, 8, 4, 4, 16), 16, 3),  # one block per j2
+        ((8, 8, 4, 4, 16), 8, 2),   # two blocks per j2: modular map wraps
+        ((8, 4, 4, 4, 16), 8, 2),   # P2 != P1
+    ):
+        p1, p2, q1, q2, q = split
+        n = p1 * p2 * q
+        fn = large3.make_large3_fft_fn(
+            n, FftDirection.FORWARD, np.complex64, split=split,
+            interpret=True, pt=8, qt=qt, factored=True,
+        )
+        sig = random_signal(batch * n, dtype=np.complex64, seed=n + qt).reshape(
+            batch, n
+        )
+        re, im = calg.from_numpy(sig, np.float32)
+        out_r, out_i = fn((re, im))
+        out = np.asarray(out_r) + 1j * np.asarray(out_i)
+        err = mean_element_error(out, oracle_dft(sig, FftDirection.FORWARD))
+        assert err < 1e-2, (split, qt, err)
+
+
+def test_large3f_routing_and_chooser():
+    """2^26 routes to large3f (past large2f's VMEM edge); the chooser keeps
+    Q = 4096 and extends P2 past large3's table cap."""
+    from rustfft_tpu import executor
+    from rustfft_tpu.ops.pallas import large3
+
+    assert large3.choose_split3f(1 << 26) == (256, 64, 64, 64, 4096)
+    assert large3.large3f_supported(1 << 26, np.complex64)
+    assert not large3.large3_supported(1 << 26, np.complex64)  # P2 > 16
+    assert executor.pallas_route(1 << 26, np.complex64, mode="tpu") == "large3f"
+    # below the default threshold large2f keeps the band
+    assert executor.pallas_route(1 << 25, np.complex64, mode="tpu") == "large2f"
