@@ -65,7 +65,7 @@ def main() -> int:
     ap.add_argument("--tol", type=float, default=0.1)
     ap.add_argument("--precision", default=None,
                     help="override config.pallas_precision "
-                         "(bf16x3 | bf16x2 | bf16)")
+                         "(bf16x3 | bf16x2 | bf16 | bf16x3s | bf16x2s)")
     args = ap.parse_args()
 
     import jax
