@@ -319,8 +319,16 @@ def main():
 
     results = []
     roofline_pcts = []
+    skipped = []
     for n, batch in configs:
-        t_per, gflops = bench_config(n, batch)
+        try:
+            t_per, gflops = bench_config(n, batch)
+        except Exception as e:  # noqa: BLE001 — one broken tier must not
+            # zero the whole driver artifact; record and keep going
+            skipped.append(n)
+            print(f"# n={n:>8} batch={batch:>6}: SKIPPED ({str(e)[:200]})",
+                  file=sys.stderr)
+            continue
         base_gflops = bench_numpy(n)
         mem_roof = roofline_gflops(n, stream_gbps)
         fpp = mxu_flops_per_point(n)
@@ -356,6 +364,7 @@ def main():
                 "roofline_pct_geomean": round(geo_roof, 1),
                 "stream_gbps": round(stream_gbps, 1),
                 "mxu_bf16_tflops": round(mxu_tflops, 1),
+                **({"skipped_sizes": skipped} if skipped else {}),
             }
         )
     )
