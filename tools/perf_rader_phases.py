@@ -75,6 +75,10 @@ def main():
             ("core inperm   ", dict(in_perm=perm_in - 1)),
             ("core bothperm ", dict(in_perm=perm_in - 1, out_perm=inv_gather,
                                     conj_out=True)),
+            ("core both x3s ", dict(in_perm=perm_in - 1, out_perm=inv_gather,
+                                    conj_out=True, precision="bf16x3s")),
+            ("core tb=32    ", dict(in_perm=perm_in - 1, out_perm=inv_gather,
+                                    conj_out=True, batch_tile=32)),
         ]
         for label, kw in cores:
             try:
