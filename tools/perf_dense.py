@@ -62,7 +62,13 @@ def main():
                 ("gauss", 128, None, None, False),
                 ("block", 64, None, None, False),
                 ("block", 128, None, None, False),
-                ("gauss", 128, None, "bf16x2", False)]
+                ("gauss", 128, None, "bf16x2", False),
+                # cat tiers: with one concatenated dot per tile, block
+                # (K=6np, 1 instr) beats gauss (3 instrs, 9 np-units) on
+                # paper — measure both
+                ("block", 128, None, "bf16x3s", False),
+                ("gauss", 128, None, "bf16x3s", False),
+                ("block", 128, None, "bf16x2s", False)]
         if n <= 256:  # wider packed rows: 2 vregs of lanes
             runs.append(("gauss", 128, 2 * dense._pack_group(n), None, False))
         if (max(1, 128 // n) * n) % 128:  # misaligned rows: aligned fallback
