@@ -905,3 +905,55 @@ def test_large3f_routing_and_chooser():
     assert executor.pallas_route(1 << 26, np.complex64, mode="tpu") == "large3f"
     # below the default threshold large2f keeps the band
     assert executor.pallas_route(1 << 25, np.complex64, mode="tpu") == "large2f"
+
+
+def test_w_cat_terms_equal_multidot():
+    """w_cat / w_cat_pair tables reproduce the multi-dot tier term-for-term:
+    dot(x_cat, w_cat) == the explicit hi/lo product sum, exactly (same bf16
+    products, f32 accumulation)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    K, N, B = 16, 24, 5
+    w = rng.standard_normal((N, K)).astype(np.float32)  # wlhs (out, K)
+    x = rng.standard_normal((K, B)).astype(np.float32)
+
+    w_hi = w.astype(jnp.bfloat16)
+    w_lo = (w - np.asarray(w_hi, np.float32)).astype(jnp.bfloat16)
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - np.asarray(x_hi, np.float32)).astype(jnp.bfloat16)
+
+    def d(a, b):
+        return np.asarray(a, np.float32) @ np.asarray(b, np.float32)
+
+    want3 = d(w_hi, x_hi) + d(w_lo, x_hi) + d(w_hi, x_lo)
+
+    w_cat = fused.w_cat(w, "bf16x3s")
+    assert w_cat.shape == (N, 3 * K) and w_cat.dtype == jnp.bfloat16
+    x_cat = np.concatenate(
+        [np.asarray(x_hi, np.float32)] * 2 + [np.asarray(x_lo, np.float32)],
+        axis=0,
+    )
+    got3 = np.asarray(w_cat, np.float32) @ x_cat
+    np.testing.assert_allclose(got3, want3, rtol=0, atol=1e-5)
+
+    # pair form: dot(wA, xr) + dot(wB, xi) at bf16x3
+    wA, wB = w[:, : K // 2], w[:, K // 2 :]
+    xr, xi = x[: K // 2], x[K // 2 :]
+    wp_cat = fused.w_cat_pair(wA, wB, "bf16x3s")
+    assert wp_cat.shape == (N, 6 * (K // 2))
+
+    def split(a):
+        hi = a.astype(jnp.bfloat16)
+        lo = (a - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+        return np.asarray(hi, np.float32), np.asarray(lo, np.float32)
+
+    wA_hi, wA_lo = split(wA)
+    wB_hi, wB_lo = split(wB)
+    xr_hi, xr_lo = split(xr)
+    xi_hi, xi_lo = split(xi)
+    want = (wA_hi @ xr_hi + wA_lo @ xr_hi + wA_hi @ xr_lo
+            + wB_hi @ xi_hi + wB_lo @ xi_hi + wB_hi @ xi_lo)
+    x_cat = np.concatenate([xr_hi, xr_hi, xr_lo, xi_hi, xi_hi, xi_lo], axis=0)
+    got = np.asarray(wp_cat, np.float32) @ x_cat
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
