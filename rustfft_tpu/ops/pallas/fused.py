@@ -841,8 +841,8 @@ def _vpu_fft_list(vr, vi, direction):
     return out_r, out_i
 
 
-def _fused_kernel_vpur(r, p, q, tb, precision, direction, xr_ref, xi_ref,
-                       wp_hi_ref, wp_lo_ref, wq_hi_ref, wq_lo_ref,
+def _fused_kernel_vpur(r, p, q, tb, precision, direction, variant, xr_ref,
+                       xi_ref, wp_hi_ref, wp_lo_ref, wq_hi_ref, wq_lo_ref,
                        t1r_ref, t1i_ref, t2r_ref, t2i_ref, or_ref, oi_ref):
     """One batch tile: (tb*p, r*q) [b, a*q+j2] -> (tb*q, r*p) [k2, k1] natural.
 
@@ -889,14 +889,27 @@ def _fused_kernel_vpur(r, p, q, tb, precision, direction, xr_ref, xi_ref,
 
     # stage B: DFT_q over j2 (MXU, K = 2q = 256)
     db = jnp.concatenate([dr, di], axis=2)  # (tb, r, 2q, p)
-    e = contract_rhs(
-        db, wq_hi_ref[:], wq_lo_ref[:], (((2,), (1,)), ((), ())), precision
-    )  # (tb, r, p, 2q) [c, d, k2]
-    er, ei = e[..., :q], e[..., q:]
+    if variant == "wlhs_b":
+        # weights-as-lhs: out[k2, b, c, d] — k2 lands LEADING and the lane
+        # axis (d) is untouched, so the natural-order emit needs only per-c
+        # leading permutes instead of r lane<->sublane transposes (the
+        # measured dominant in-VMEM cost class, CLAUDE.md)
+        e = contract_wlhs(
+            wq_hi_ref[:], wq_lo_ref[:], db, (((1,), (2,)), ((), ())),
+            precision,
+        )  # (2q, tb, r, p) [k2, b, c, d]
+        er, ei = e[:q], e[q:]
+        outs_r = [jnp.transpose(er[:, :, c, :], (1, 0, 2)) for c in range(r)]
+        outs_i = [jnp.transpose(ei[:, :, c, :], (1, 0, 2)) for c in range(r)]
+    else:
+        e = contract_rhs(
+            db, wq_hi_ref[:], wq_lo_ref[:], (((2,), (1,)), ((), ())), precision
+        )  # (tb, r, p, 2q) [c, d, k2]
+        er, ei = e[..., :q], e[..., q:]
 
-    # natural order k = k2*m1 + c*p + d: per-c lane transposes, lane concat
-    outs_r = [jnp.swapaxes(er[:, c], -1, -2) for c in range(r)]  # (tb, q, p)
-    outs_i = [jnp.swapaxes(ei[:, c], -1, -2) for c in range(r)]
+        # natural order k = k2*m1 + c*p + d: per-c lane transposes, concat
+        outs_r = [jnp.swapaxes(er[:, c], -1, -2) for c in range(r)]  # (tb, q, p)
+        outs_i = [jnp.swapaxes(ei[:, c], -1, -2) for c in range(r)]
     or_ref[:] = jnp.concatenate(outs_r, axis=-1).reshape(tb * q, m1)
     oi_ref[:] = jnp.concatenate(outs_i, axis=-1).reshape(tb * q, m1)
 
@@ -909,8 +922,14 @@ def make_fused_radix_fn(
     interpret: bool = False,
     precision=None,
     batch_tile: Optional[int] = None,
+    variant: str = "default",
 ) -> Callable:
-    """Return fn: Cplx (..., n) -> Cplx (..., n), the radix-r fused kernel."""
+    """Return fn: Cplx (..., n) -> Cplx (..., n), the radix-r fused kernel.
+
+    variant="wlhs_b": stage B as a weights-as-lhs contraction — natural
+    order from per-c leading permutes instead of r lane<->sublane
+    transposes (A/B on hardware: tools/perf_anatomy.py).
+    """
     assert np.dtype(dtype) == np.complex64, "fused kernel is c64/f32 only"
     rpq = split or choose_rpq(n)
     assert rpq is not None, f"no radix-r fused split for n={n}"
@@ -953,7 +972,7 @@ def make_fused_radix_fn(
         batch = xr.shape[0]
         grid = batch // tb
         kernel = functools.partial(
-            _fused_kernel_vpur, r, p, q, tb, precision, direction
+            _fused_kernel_vpur, r, p, q, tb, precision, direction, variant
         )
         in_bspec = pl.BlockSpec((tb * p, r * q), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
         out_bspec = pl.BlockSpec((tb * q, m1), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)

@@ -191,11 +191,16 @@ def main():
             except Exception as e:  # noqa: BLE001
                 print(f"  {label:<20}: FAILED {str(e)[:300]}", flush=True)
         if fused.radix_supported(n, np.complex64):
-            for label, prec in (("radix bf16x3", "bf16x3"),
-                                ("radix bf16x3s", "bf16x3s")):
+            for label, prec, variant in (
+                ("radix bf16x3", "bf16x3", "default"),
+                ("radix bf16x3s", "bf16x3s", "default"),
+                ("radix wlhsB x3", "bf16x3", "wlhs_b"),
+                ("radix wlhsB x3s", "bf16x3s", "wlhs_b"),
+            ):
                 try:
                     fn = fused.make_fused_radix_fn(n, d, np.complex64,
-                                                   precision=prec)
+                                                   precision=prec,
+                                                   variant=variant)
                     t = time_fn(fn, re, im)
                     print(f"  {label:<20}: {t*1e3:8.3f} ms  {gf(t):7.1f} GF/s",
                           flush=True)
