@@ -181,10 +181,15 @@ def main():
                 print(f"  probe {label:<14}: FAILED {str(e)[:300]}", flush=True)
 
         gf = lambda t: 5.0 * batch * n * math.log2(n) / t / 1e9  # noqa: E731
-        for label, prec in (("full bf16x3", "bf16x3"), ("full bf16x3s", "bf16x3s")):
+        for label, prec, var in (
+            ("full bf16x3", "bf16x3", None),
+            ("full bf16x3s", "bf16x3s", None),
+            ("full wlhs x3", "bf16x3", "wlhs"),
+        ):
             try:
                 fn = fused.make_fused_two_stage_fn(n, d, np.complex64,
-                                                   precision=prec)
+                                                   precision=prec,
+                                                   variant=var)
                 t = time_fn(fn, re, im)
                 print(f"  {label:<20}: {t*1e3:8.3f} ms  {gf(t):7.1f} GF/s",
                       flush=True)
