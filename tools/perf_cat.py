@@ -99,6 +99,27 @@ def main():
                 except Exception as e:  # noqa: BLE001
                     print(f"  {fam:<10} {prec:<8}: FAILED {str(e)[:300]}", flush=True)
 
+        # under cat, the radix-choice calculus changes: a 3-stage split's
+        # three single-pass cat dots (6r <= 128 each) can beat the default
+        # "fewer, fatter" 2-stage split (one 3-pass + one 1-pass dot)
+        alt_radices = {
+            1024: [(32, 32), (16, 16, 4), (16, 8, 8)],
+            2048: [(16, 16, 8), (32, 8, 8)],
+            512: [(8, 8, 8), (32, 16)],
+        }.get(n, [])
+        for rads in alt_radices:
+            try:
+                fn = lanepack.make_lanepack_fn(
+                    n, d, np.complex64, radices=rads, precision="bf16x3s"
+                )
+                t = time_fn(fn, re, im)
+                print(
+                    f"  lanepack r={str(rads):<14} bf16x3s: {t*1e3:8.3f} ms  "
+                    f"{gf(t):7.1f} GF/s", flush=True,
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"  lanepack r={rads} FAILED {str(e)[:200]}", flush=True)
+
 
 if __name__ == "__main__":
     main()
