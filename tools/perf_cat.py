@@ -120,6 +120,22 @@ def main():
             except Exception as e:  # noqa: BLE001
                 print(f"  lanepack r={rads} FAILED {str(e)[:200]}", flush=True)
 
+        # with the op tax gone, DMA block size may become binding: group
+        # sweep (g 128-row groups per grid step; default 1 below n=3000)
+        if n <= 2048 and lanepack.lanepack_supported(n, np.complex64):
+            for g in (2, 4):
+                try:
+                    fn = lanepack.make_lanepack_fn(
+                        n, d, np.complex64, precision="bf16x3s", group=g
+                    )
+                    t = time_fn(fn, re, im)
+                    print(
+                        f"  lanepack g={g} bf16x3s: {t*1e3:8.3f} ms  "
+                        f"{gf(t):7.1f} GF/s", flush=True,
+                    )
+                except Exception as e:  # noqa: BLE001
+                    print(f"  lanepack g={g} FAILED {str(e)[:200]}", flush=True)
+
 
 if __name__ == "__main__":
     main()
