@@ -92,17 +92,18 @@ def _choose_pq(n: int) -> Optional[Tuple[int, int]]:
     return p, q
 
 
-def _pick_batch_tile(batch: int, p: int, q: int) -> int:
+def _pick_batch_tile(batch: int, p: int, q: int, copies: int = 16) -> int:
     """Choose TB so the kernel's working set fits the VMEM budget.
 
     Live f32 copies of the (TB, p, q) tile: in r/i + concat (4), stage-1 out
     (2), twiddled (2), stage-2 concat + out (4), transposed out + Mosaic
-    double-buffered io (4) — ~16 copies plus the constant tables.
+    double-buffered io (4) — ~16 copies plus the constant tables.  Cat
+    precision tiers add the bf16 x_cat temp per stage (~3 f32-equivalents).
     """
     n = p * q
     consts = 4 * (4 * p * p + 4 * q * q + 2 * p * q)
     budget = int(config.pallas_vmem_limit * 0.8) - consts
-    per_row = 16 * 4 * n
+    per_row = copies * 4 * n
     tb = max(1, budget // per_row)
     tb = 1 << (tb.bit_length() - 1)  # floor to a power of two
     # cap: tiles beyond 128 rows gain nothing (grid-step overhead is already
@@ -568,7 +569,8 @@ def make_fused_two_stage_fn(
         flat_r = xr.reshape(-1, n)
         flat_i = xi.reshape(-1, n)
         batch = flat_r.shape[0]
-        tb = batch_tile or _pick_batch_tile(batch, p, q)
+        copies = 19 if precision in CAT_TIERS else 16
+        tb = batch_tile or _pick_batch_tile(batch, p, q, copies)
         pad = (-batch) % tb
         if pad:
             flat_r = jnp.pad(flat_r, ((0, pad), (0, 0)))
