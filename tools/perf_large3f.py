@@ -69,6 +69,16 @@ def main():
         if large2f.large2f_supported(n, np.complex64):
             runs.append(("large2f", lambda: large2f.make_large2f_fft_fn(
                 n, d, np.complex64)))
+        elif n == (1 << 26):
+            # bypass the gate: the 2^25 VMEM-edge measurement was at bf16x3;
+            # the cat tier's bf16 intermediates shrink the pass-1 working
+            # set — maybe (256, 64) compiles at 2^26 now (4 traversals vs
+            # large3f's 6 would win big if it does)
+            sp2 = (256, 64, 64, 64, 4096)
+            runs.append(("large2f x3s (gate bypass)",
+                         lambda sp2=sp2: large2f.make_large2f_fft_fn(
+                             n, d, np.complex64, split=sp2,
+                             precision="bf16x3s")))
         def make_xla(n=n):
             config.use_pallas = "off"
             try:
