@@ -57,9 +57,11 @@ class FftConfig:
     #: Largest transform routed to the batch-in-lanes kernel
     #: (ops/pallas/lanepack.py) when a lane-aligned fused split also exists;
     #: misaligned sizes use lanepack as far as its VMEM bound allows.
-    #: Measured on v5e: lanepack wins to 2048, the two-stage fused kernel
-    #: wins at 4096.
-    lanepack_max_n: int = 2048
+    #: Measured on v5e: under bf16x3 lanepack won to 2048 and two-stage won
+    #: at 4096; under the bf16x3s cat tier (round-4 hardware sweep,
+    #: tools/perf_cat.py) lanepack wins at 4096 too (538 vs 470 GF/s,
+    #: same-run adjacent rows).
+    lanepack_max_n: int = 4096
 
     #: Smallest transform routed to the three-stage fused kernel when its
     #: (p, q1, q2) split exists.  Measured on v5e: the kernel is MXU-PASS
@@ -158,9 +160,13 @@ class FftConfig:
     #: compute the SAME terms as bf16x3/bf16x2 in ONE MXU dot over a
     #: concatenated contraction axis (identical accuracy, 1 MXU op per
     #: stage instead of 3-6 — the designed attack on the op-count-bound
-    #: small-n band; staged pending a hardware sweep, tools/perf_cat.py).
+    #: small-n band).  Round-4 hardware sweep (tools/perf_cat.py): bf16x3s
+    #: beats bf16x3 by 40-55% across the lanepack band (512: 504 vs 325,
+    #: 1024: 567 vs 357, 2048: 604 vs 408, 3888: 417 vs 300, 4096: 538 vs
+    #: 358 GF/s), +8.6% at two-stage 4096, parity within noise at 16k/65k/
+    #: 2^20 (812 vs 807 / 889 vs 919 / 833 vs 821) — flipped to default.
     #: Other accepted values: jax.lax.Precision.HIGHEST / .DEFAULT.
-    pallas_precision: object = "bf16x3"
+    pallas_precision: object = "bf16x3s"
 
     #: Scoped VMEM budget for Pallas kernels (bytes).  The TPU default is
     #: 16MB; v5e cores have more physical VMEM, and a larger budget lets the

