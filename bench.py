@@ -168,9 +168,9 @@ def mxu_flops_per_point(n: int):
     from rustfft_tpu.config import config
     from rustfft_tpu.ops.pallas import conv, fused, lanepack, large
 
-    passes = {"bf16x3": 3, "bf16x2": 2, "bf16": 1}.get(
-        config.pallas_precision, 6
-    )
+    passes = {
+        "bf16x3": 3, "bf16x3s": 3, "bf16x2": 2, "bf16x2s": 2, "bf16": 1
+    }.get(config.pallas_precision, 6)
     route = executor.pallas_route(n, np.complex64, mode="tpu")
     if route == "dense":
         # gauss 3-multiply: 3 GEMMs of (bt, npad) @ (npad, npad) = 6*npad

@@ -43,16 +43,21 @@ class FftConfig:
     #: (measured crossover on v5e: lanepack beats XLA from ~512 up).
     pallas_min_n: int = 512
 
-    #: Largest transform ALWAYS routed to the dense whole-DFT matmul kernel
-    #: (ops/pallas/dense.py) — one MXU GEMM per batch tile, any length.
-    #: 0 disables (unmeasured on hardware; flip after a clean-run sweep).
-    dense_max_n: int = 0
+    #: Dense whole-DFT matmul kernel (ops/pallas/dense.py) band: sizes in
+    #: [dense_min_n, dense_max_n] ALWAYS route dense — one MXU GEMM per
+    #: batch tile, any length.  Round-4 hardware sweep (tools/perf_dense.py,
+    #: f32-grade rows): dense wins 256 (918 vs XLA 439 GF/s), 500 (560 vs
+    #: 160), 512 (577 vs lanepack-cat ~500), 729 (544 vs lanepack ~280);
+    #: XLA keeps 64 (767 vs 430) and ties 128 (944 vs 966); lanepack keeps
+    #: 1024 (567 vs dense 414).  Crossovers: in at 129, out after 768.
+    dense_min_n: int = 129
+    dense_max_n: int = 768
 
     #: Largest transform routed to the dense kernel when NO other Pallas
-    #: tier serves it (primes, misaligned smalls below the lanepack band):
-    #: the O(n^2) MXU matmul still beats the multi-pass XLA/conv routes up
-    #: to ~1.5k points in theory.  0 disables (unmeasured on hardware).
-    dense_fallback_max_n: int = 0
+    #: tier serves it (primes, misaligned smalls the factored tiers skip).
+    #: Round-4 sweep: 1009 dense 349 vs conv-route 106, 1234: 316 vs 99,
+    #: 2003: 210 vs 147 GF/s — 1.4-3.3x wins across the measured band.
+    dense_fallback_max_n: int = 2048
 
     #: Largest transform routed to the batch-in-lanes kernel
     #: (ops/pallas/lanepack.py) when a lane-aligned fused split also exists;

@@ -106,11 +106,17 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
     # tier 0: dense whole-DFT matmul — one MXU GEMM, any length; outranks
     # the factored tiers below config.dense_max_n (and backstops sizes no
     # other tier serves, below — primes / misaligned smalls)
-    if n <= config.dense_max_n and dense.dense_supported(n, dtype):
+    if (
+        config.dense_min_n <= n <= config.dense_max_n
+        and dense.dense_supported(n, dtype)
+    ):
         return "dense"
 
     if mode == "tpu" and n < config.pallas_min_n:
-        if n <= config.dense_fallback_max_n and dense.dense_supported(n, dtype):
+        if (
+            config.dense_min_n <= n <= config.dense_fallback_max_n
+            and dense.dense_supported(n, dtype)
+        ):
             return "dense"
         return None
 
@@ -172,7 +178,10 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
     if n >= config.largepad_min_n and largepad.largepad_supported(n, dtype):
         return "large_pad"
     # dense backstop: no factored tier serves n (primes, misaligned smalls)
-    if n <= config.dense_fallback_max_n and dense.dense_supported(n, dtype):
+    if (
+        config.dense_min_n <= n <= config.dense_fallback_max_n
+        and dense.dense_supported(n, dtype)
+    ):
         return "dense"
     return None
 
@@ -238,7 +247,7 @@ def build(
         config.conv_radix_min_m, config.rader_gather, config.large3_min_n,
         config.largepad_min_n, config.large2f_min_n, config.dense_max_n,
         config.dense_fallback_max_n, config.use_bconv_fused,
-        config.large3f_min_n,
+        config.large3f_min_n, config.dense_min_n,
     )
     fn = _CACHE.get(key)
     if fn is None:

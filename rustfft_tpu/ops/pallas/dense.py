@@ -132,8 +132,8 @@ def make_dense_fft_fn(
     dtype,
     interpret: bool = False,
     precision=None,
-    variant: str = "gauss",
-    batch_tile: int = 128,
+    variant: Optional[str] = None,
+    batch_tile: Optional[int] = None,
     pack: Optional[int] = None,
     aligned: bool = False,
 ) -> Callable:
@@ -147,10 +147,27 @@ def make_dense_fft_fn(
     lane concat/slice — the compile-safe fallback if Mosaic rejects the
     whole-dim lane-block form at misaligned n (costs one extra pad copy)."""
     assert np.dtype(dtype) == np.complex64, "dense kernel is c64 only"
-    precision = resolve_precision(precision, interpret)
     g = pack or _pack_group(n)
     L = g * n  # packed row length
     npad = _n_pad(L)
+    # round-4 hardware crossovers (tools/perf_dense.py, f32-grade rows):
+    # the 4-mult block form wins while the packed row fits 2 vregs (n=128:
+    # 966 vs gauss 765; 256: 918 vs 666 GF/s); the 3-mult gauss form wins
+    # above (500: 560 vs 466, 512: 578 vs 467, 1009: 349 vs 273) — fewer
+    # bf16 passes once the (2npad)^2 tables stop fitting comfortably.
+    if variant is None:
+        variant = "block" if npad <= 256 else "gauss"
+    if batch_tile is None:
+        # bt=64 edges bt=128 for fat rows (1009: 349 vs 330, 1234: 316 vs
+        # 282, 2003: 210 vs 196); bt=128 wins below (128: 966 vs 514)
+        batch_tile = 64 if npad >= 1024 else 128
+    if precision is None and config.pallas_precision in ("bf16x3", "bf16x3s"):
+        # per-variant measured best at f32-grade accuracy: the block form
+        # loses hard under the cat tier (128: 703 vs 966; 256: 570 vs 918
+        # — the transposed cat tables break its single-GEMM layout), gauss
+        # ties or wins under cat (729: 544 vs 372 at misaligned rows)
+        precision = "bf16x3" if variant == "block" else "bf16x3s"
+    precision = resolve_precision(precision, interpret)
     Lk = npad if aligned else L  # kernel-visible row length
 
     w = twiddles.dft_matrix(n, direction)  # (n, n) complex, w[j, k]

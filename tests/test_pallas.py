@@ -159,15 +159,21 @@ def test_dense_matmul_kernel_aligned(n):
 
 
 def test_dense_route_knobs():
-    """dense_max_n / dense_fallback_max_n gate the dense tier (defaults off
-    pending hardware measurement)."""
+    """dense_min_n / dense_max_n / dense_fallback_max_n gate the dense tier
+    (round-4 measured defaults: band [129, 768], fallback to 2048)."""
     from rustfft_tpu import executor
 
-    assert executor.pallas_route(256, np.complex64, mode="tpu") is None
+    old_min = config.dense_min_n
     old_max, old_fb = config.dense_max_n, config.dense_fallback_max_n
     try:
+        config.dense_max_n = 0
+        config.dense_fallback_max_n = 0
+        assert executor.pallas_route(256, np.complex64, mode="tpu") is None
         config.dense_max_n = 512
         config.dense_fallback_max_n = 1536
+        # below the band's lower edge XLA keeps the size (64: 767 vs 430)
+        config.dense_min_n = 129
+        assert executor.pallas_route(64, np.complex64, mode="tpu") is None
         assert executor.pallas_route(256, np.complex64, mode="tpu") == "dense"
         assert executor.pallas_route(512, np.complex64, mode="tpu") == "dense"
         # fallback band: primes get dense; aligned sizes keep their tier
@@ -177,6 +183,7 @@ def test_dense_route_knobs():
         # past the fallback cap: unrouted as before
         assert executor.pallas_route(7919, np.complex64, mode="tpu") is None
     finally:
+        config.dense_min_n = old_min
         config.dense_max_n = old_max
         config.dense_fallback_max_n = old_fb
 
@@ -481,8 +488,14 @@ def test_pallas_route_table():
     from rustfft_tpu import executor
 
     expect = {
-        512: "lanepack", 1024: "lanepack", 2048: "lanepack",
-        3888: "lanepack", 7776: "lanepack", 537: "lanepack",
+        # round-4 dense band [129, 768]: one whole-DFT MXU GEMM beats the
+        # factored tiers there (tools/perf_dense.py: 256: 918 vs 439, 512:
+        # 577 vs ~500, 729: 544 vs ~280 GF/s); primes/misaligned with no
+        # factored tier fall back to dense up to 2048 (1009: 349 vs 106)
+        256: "dense", 500: "dense", 512: "dense", 537: "dense",
+        729: "dense", 1009: "dense", 128: None, 64: None,
+        1024: "lanepack", 2048: "lanepack",
+        3888: "lanepack", 7776: "lanepack",
         # 4096 moved to lanepack in round 4: under the bf16x3s cat tier
         # lanepack measured 538 vs two-stage 470 GF/s (tools/perf_cat.py)
         4096: "lanepack", 16384: "two_stage",
