@@ -264,12 +264,19 @@ def _kernel_q(q1, q2, pt, precision, xr_ref, xi_ref, w1_hi_ref, w1_lo_ref,
 
 def _pick_qt2(p2: int, q: int, pt: int) -> int:
     """Pass-2 j3 tile: largest divisor of Q whose (P2, qt2, pt) working set
-    (~10 live f32 pair-copies) fits the VMEM budget."""
+    (~10 live f32 pair-copies) fits the VMEM budget.
+
+    Mosaic floor: qt2 is the LANE dim of the (P2, qt2) twiddle block, so it
+    must be a multiple of 128 (or all of Q) — qt2=64 at 2^26 (P2=64) failed
+    the hardware compile outright (round-4 sweep).  When the floored tile
+    overshoots the budget, pass 2 raises its own VMEM limit instead
+    (large2f's pattern at 2^25)."""
     budget = int(max(config.pallas_vmem_limit, 64 * 2**20) * 0.8)
+    floor = q if q < 128 else 128
     qt2 = q
-    while qt2 > 8 and 10 * 2 * 4 * p2 * qt2 * pt > budget:
+    while qt2 > floor and 10 * 2 * 4 * p2 * qt2 * pt > budget:
         qt2 //= 2
-    return max(qt2, 8)
+    return max(qt2, floor)
 
 
 def make_large3_fft_fn(
@@ -357,6 +364,16 @@ def make_large3_fft_fn(
         kernel_p2 = functools.partial(_kernel_p2, p2, qt2, pt, direction)
     kernel_q = functools.partial(_kernel_q, q1, q2, pt, precision)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=config.pallas_vmem_limit)
+    # pass 2 only: the Mosaic lane floor (qt2 >= 128) can push the working
+    # set past the standard budget at P2=64 (2^26) — raise this one call's
+    # limit rather than shrinking below the floor (which cannot compile)
+    _p2_est = 10 * 2 * 4 * p2 * qt2 * pt
+    if _p2_est > int(max(config.pallas_vmem_limit, 64 * 2**20) * 0.8):
+        cparams2 = pltpu.CompilerParams(
+            vmem_limit_bytes=max(config.pallas_vmem_limit, 112 * 2**20)
+        )
+    else:
+        cparams2 = cparams
 
     def cspec(w, ndim=2):
         return pl.BlockSpec(
@@ -430,7 +447,7 @@ def make_large3_fft_fn(
                 out_shape=[
                     jax.ShapeDtypeStruct((batch, p2, q, p1), jnp.float32)
                 ] * 2,
-                compiler_params=cparams,
+                compiler_params=cparams2,
                 interpret=interpret,
             )(a_r, a_i, jnp.asarray(wos_r), jnp.asarray(wos_i),
               jnp.asarray(twr_m), jnp.asarray(twi_m))
@@ -443,7 +460,7 @@ def make_large3_fft_fn(
                 out_shape=[
                     jax.ShapeDtypeStruct((batch, p2, q, p1), jnp.float32)
                 ] * 2,
-                compiler_params=cparams,
+                compiler_params=cparams2,
                 interpret=interpret,
             )(a_r, a_i, jnp.asarray(twr_m), jnp.asarray(twi_m))
 
