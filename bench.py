@@ -25,7 +25,13 @@ import time
 import numpy as np
 
 
-def bench_config(n: int, batch: int, iters: int = 8):
+def bench_config(n: int, batch: int, iters: int = 8, floor_s: float = 0.0):
+    """floor_s: physical lower bound on the per-FFT time (one HBM read +
+    one write at the same-run stream rate, with margin).  The tunneled
+    runtime's scalar readback occasionally returns BEFORE the chain
+    completes (round-4: 1009 measured 0.036 ms/fft = 780%% of roofline,
+    sane 0.8 ms on rerun); best-of-N min() latches such rounds, so any
+    round under the floor is discarded as an async artifact."""
     import jax
 
     from rustfft_tpu import FftPlanner
@@ -58,13 +64,21 @@ def bench_config(n: int, batch: int, iters: int = 8):
     # exposed (r2 driver run: 1009 came out 2.3x below within-run at the
     # same stream rate), so give them extra rounds.
     rounds = 5 if n <= 16384 else 3
-    t_total = None
-    for _ in range(rounds):
+    times = []
+    for _ in range(rounds + 5):  # up to 5 retries if rounds fall under floor
         t0 = time.perf_counter()
         float(many((re, im)))
         t = time.perf_counter() - t0
-        t_total = t if t_total is None else min(t_total, t)
-    t_per = max((t_total - t_over) / iters, 1e-9)
+        if (t - t_over) / iters >= floor_s:
+            times.append(t)
+        if len(times) >= rounds:
+            break
+    if not times:  # every round under-floor: report the floor, flagged
+        print(f"# n={n}: all rounds under the physical floor "
+              f"({floor_s*1e3:.3f} ms) — async readback artifact",
+              file=sys.stderr)
+        return floor_s, 5.0 * batch * n * math.log2(n) / floor_s / 1e9
+    t_per = max((min(times) - t_over) / iters, 1e-9)
     gflops = 5.0 * batch * n * math.log2(n) / t_per / 1e9
     return t_per, gflops
 
@@ -321,8 +335,11 @@ def main():
     roofline_pcts = []
     skipped = []
     for n, batch in configs:
+        # physical floor: one HBM read + write of the f32 pair per FFT at
+        # 1.5x the measured stream rate (margin for stream-probe noise)
+        floor_s = 16.0 * batch * n / (stream_gbps * 1.5e9)
         try:
-            t_per, gflops = bench_config(n, batch)
+            t_per, gflops = bench_config(n, batch, floor_s=floor_s)
         except Exception as e:  # noqa: BLE001 — one broken tier must not
             # zero the whole driver artifact; record and keep going
             skipped.append(n)
