@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import config
-from .util import i32map
+from .util import i32map, take_lane
 
 _Y = 128  # sublane-digit extent (lane width of the transposed Y-gathers)
 _Z = 128  # lane-digit extent (native gather window)
@@ -181,22 +181,22 @@ def _apply_phases(v, x_ext, iz1, iy1, sel, iy2, iz2):
     be a single vreg (<= 128 lanes, "Multiple source vregs along gather
     dimension")."""
     y, z = _Y, _Z
-    a = jnp.take_along_axis(v, iz1, axis=1)  # (W, Z), 2D gather
+    a = take_lane(v, iz1)  # (W, Z), 2D gather (x64-safe int32 indices)
     a3 = a.reshape(x_ext, y, z)
     b_l = []
     for x in range(x_ext):
         at = jnp.swapaxes(a3[x], 0, 1)  # (Z, Y) 128x128 transpose
-        b_l.append(jnp.take_along_axis(at, iy1[x], axis=1))
+        b_l.append(take_lane(at, iy1[x]))
     d_l = []
     for xd in range(x_ext):
         acc = None
         for xs_ in range(x_ext):
             term = sel[xd][xs_] * b_l[xs_]
             acc = term if acc is None else acc + term
-        d = jnp.take_along_axis(acc, iy2[xd], axis=1)
+        d = take_lane(acc, iy2[xd])
         d_l.append(jnp.swapaxes(d, 0, 1))  # back to (Y, Z)
     dt = jnp.stack(d_l, axis=0).reshape(x_ext * y, z)
-    return jnp.take_along_axis(dt, iz2, axis=1)
+    return take_lane(dt, iz2)
 
 
 def _kernel(tb, x_ext, xr_ref, xi_ref, iz1_ref, iy1_ref, sel_ref, iy2_ref,
