@@ -73,14 +73,16 @@ def bench_config(n: int, batch: int, iters: int = 8, floor_s: float = 0.0):
             times.append(t)
         if len(times) >= rounds:
             break
-    if not times:  # every round under-floor: report the floor, flagged
+    if not times:  # every round under-floor: report the floor, FLAGGED
+        # (the true time is unknowable from these rounds; the floor is an
+        # optimistic bound, so the JSON carries the size in floored_sizes)
         print(f"# n={n}: all rounds under the physical floor "
               f"({floor_s*1e3:.3f} ms) — async readback artifact",
               file=sys.stderr)
-        return floor_s, 5.0 * batch * n * math.log2(n) / floor_s / 1e9
+        return floor_s, 5.0 * batch * n * math.log2(n) / floor_s / 1e9, True
     t_per = max((min(times) - t_over) / iters, 1e-9)
     gflops = 5.0 * batch * n * math.log2(n) / t_per / 1e9
-    return t_per, gflops
+    return t_per, gflops, False
 
 
 def bench_stream(nbytes: int = 1 << 28, iters: int = 8):
@@ -334,12 +336,15 @@ def main():
     results = []
     roofline_pcts = []
     skipped = []
+    floored = []
     for n, batch in configs:
         # physical floor: one HBM read + write of the f32 pair per FFT at
         # 1.5x the measured stream rate (margin for stream-probe noise)
         floor_s = 16.0 * batch * n / (stream_gbps * 1.5e9)
         try:
-            t_per, gflops = bench_config(n, batch, floor_s=floor_s)
+            t_per, gflops, was_floored = bench_config(n, batch, floor_s=floor_s)
+            if was_floored:
+                floored.append(n)
         except Exception as e:  # noqa: BLE001 — one broken tier must not
             # zero the whole driver artifact; record and keep going
             skipped.append(n)
@@ -382,6 +387,7 @@ def main():
                 "stream_gbps": round(stream_gbps, 1),
                 "mxu_bf16_tflops": round(mxu_tflops, 1),
                 **({"skipped_sizes": skipped} if skipped else {}),
+                **({"floored_sizes": floored} if floored else {}),
             }
         )
     )

@@ -14,8 +14,20 @@ import time
 import numpy as np
 
 
-def time_fn(fn, re, im, iters=8):
+def time_fn(fn, re, im, iters=8, rounds=3):
+    """Best-of-`rounds` per-call time for fn chained `iters` times.
+
+    Floor guard: the tunneled runtime's scalar readback occasionally returns
+    BEFORE the chain completes (round-4 bench: 1009 measured 780% of
+    roofline, sane on rerun), and best-of-N min() latches such rounds.  Any
+    round whose per-call time is below the physical HBM floor (one read +
+    one write of the f32 pair at 1.1 TB/s — above any measured v5e stream
+    rate) is discarded as an async artifact; returns NaN if every round
+    (plus retries) lands under the floor, so bogus rows stay visible.
+    """
     import jax
+
+    floor_s = 16.0 * re.size / 1.1e12
 
     @jax.jit
     def many(x):
@@ -31,13 +43,18 @@ def time_fn(fn, re, im, iters=8):
     t0 = time.perf_counter()
     float(nothing((re, im)))
     t_over = time.perf_counter() - t0
-    best = None
-    for _ in range(3):
+    times = []
+    for _ in range(rounds + 5):
         t0 = time.perf_counter()
         float(many((re, im)))
         t = time.perf_counter() - t0
-        best = t if best is None else min(best, t)
-    return max((best - t_over) / iters, 1e-9)
+        if (t - t_over) / iters >= floor_s:
+            times.append(t)
+        if len(times) >= rounds:
+            break
+    if not times:
+        return float("nan")
+    return max((min(times) - t_over) / iters, 1e-9)
 
 
 def main():
