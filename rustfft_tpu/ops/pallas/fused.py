@@ -925,17 +925,29 @@ def make_fused_radix_fn(
     precision=None,
     batch_tile: Optional[int] = None,
     variant: str = "default",
+    in_place: bool = False,
 ) -> Callable:
     """Return fn: Cplx (..., n) -> Cplx (..., n), the radix-r fused kernel.
 
     variant="wlhs_b": stage B as a weights-as-lhs contraction — natural
     order from per-c leading permutes instead of r lane<->sublane
     transposes (A/B on hardware: tools/perf_anatomy.py).
+
+    in_place=True aliases the input HBM pair to the outputs (the
+    reference's in-place execution model, lib.rs:195-211).  Legal because
+    every radix split has p == q == 128, so the (batch*p, r*q) in view and
+    (batch*q, r*p) out view share a shape and identical block index maps.
+    In-place halves the HBM page working set; measured on v5e the aliased
+    two-stage kernel ran +24% in a chained loop (tools/perf_dma2.py).  XLA
+    inserts a defensive copy unless the caller donates the operands (jit
+    donate_argnums / a loop carry).
     """
     assert np.dtype(dtype) == np.complex64, "fused kernel is c64/f32 only"
     rpq = split or choose_rpq(n)
     assert rpq is not None, f"no radix-r fused split for n={n}"
     r, p, q = rpq
+    if in_place:
+        assert p == q, f"in_place radix kernel needs p == q, got {rpq}"
     m1 = r * p
     assert m1 * q == n
     rdt = np.float32
@@ -988,6 +1000,7 @@ def make_fused_radix_fn(
             in_specs=[in_bspec, in_bspec] + [cspec(w) for w in consts],
             out_specs=[out_bspec, out_bspec],
             out_shape=[jax.ShapeDtypeStruct((batch * q, m1), jnp.float32)] * 2,
+            input_output_aliases={0: 0, 1: 1} if in_place else {},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=max(config.pallas_vmem_limit, 112 * 2**20)
             ),
