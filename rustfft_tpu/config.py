@@ -173,6 +173,17 @@ class FftConfig:
     #: Other accepted values: jax.lax.Precision.HIGHEST / .DEFAULT.
     pallas_precision: object = "bf16x3s"
 
+    #: Alias the input HBM pair to the outputs (input_output_aliases) in
+    #: the one-pass kernels whose in/out views share a shape and block
+    #: index map (radix, square two-stage, dense).  In-place halves the
+    #: HBM page working set: the aliased two-stage kernel measured +24%
+    #: in a chained loop on v5e (tools/perf_dma2.py — overturning the
+    #: round-2 negative, which predates the cat tier and today's tile
+    #: choices).  XLA inserts a defensive copy when the operand is an
+    #: entry parameter the caller still owns, so this is always correct;
+    #: it pays when the operand is a loop carry, a donated arg, or an
+    #: XLA temp (the pad/pack copies in dense/radix apply()).
+    pallas_in_place: bool = False
     #: Scoped VMEM budget for Pallas kernels (bytes).  The TPU default is
     #: 16MB; v5e cores have more physical VMEM, and a larger budget lets the
     #: fused kernels run bigger batch tiles (fewer grid steps).

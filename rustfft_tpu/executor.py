@@ -208,7 +208,21 @@ def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[
         "three_stage": fused.make_fused_three_stage_fn,
         "two_stage": fused.make_fused_two_stage_fn,
     }[route]
-    return builder(n, direction, dtype, interpret=interpret)
+    kwargs = {}
+    if config.pallas_in_place:
+        # in-place is legal where the in/out views share a shape and block
+        # index map: dense always, radix always (p == q == 128 by
+        # construction), two-stage only for square splits with the
+        # in-kernel transpose (p >= 128)
+        if route == "dense":
+            kwargs["in_place"] = True
+        elif route == "radix":
+            kwargs["in_place"] = True
+        elif route == "two_stage":
+            pq = fused._choose_pq(n)
+            if pq is not None and pq[0] == pq[1] and pq[0] >= 128:
+                kwargs["in_place"] = True
+    return builder(n, direction, dtype, interpret=interpret, **kwargs)
 
 
 def _is_matrix_leaf(recipe: recipes.Recipe) -> bool:
@@ -247,7 +261,7 @@ def build(
         config.conv_radix_min_m, config.rader_gather, config.large3_min_n,
         config.largepad_min_n, config.large2f_min_n, config.dense_max_n,
         config.dense_fallback_max_n, config.use_bconv_fused,
-        config.large3f_min_n, config.dense_min_n,
+        config.large3f_min_n, config.dense_min_n, config.pallas_in_place,
     )
     fn = _CACHE.get(key)
     if fn is None:
