@@ -10,10 +10,16 @@ vs_baseline: ratio against numpy's pocketfft (np.fft.fft) on the host CPU for
 the same shapes — the stand-in for the reference's class (an optimized CPU
 FFT library; RustFFT publishes no absolute numbers, BASELINE.md).
 
-Timing methodology: the tunneled TPU runtime here does not synchronize on
-block_until_ready, so each measurement folds `iters` chained transforms into
-ONE jitted lax.fori_loop and forces execution with a scalar readback; a
-zero-work dispatch+readback probe is subtracted as overhead.
+Timing methodology: the tunneled TPU runtime does not synchronize on
+block_until_ready and carries a ~25 ms dispatch+readback RTT per call, so
+each measurement folds a RUNTIME-VARIABLE number of chained transforms into
+one jitted lax.fori_loop (dynamic trip count: one compile for every k) and
+times two chain lengths k1 < k2 — the per-iteration time is the
+DIFFERENCE quotient (t(k2)-t(k1))/(k2-k1), which cancels the RTT exactly.
+(The previous zero-work-probe subtraction left small chains RTT-noise
+dominated: round-4's 1009 row measured 780%% of roofline on one run and NaN
+on the next; differential timing on the same route reproduces ~0.95 ms/call
+at every k.)
 """
 from __future__ import annotations
 
@@ -25,67 +31,82 @@ import time
 import numpy as np
 
 
-def bench_config(n: int, batch: int, iters: int = 8, floor_s: float = 0.0):
+def diff_time(many, x, floor_s: float = 0.0, rounds: int = 3,
+              target_s: float = 0.25, max_k: int = 4096):
+    """Per-iteration seconds for `many(x, k)` (k chained iterations, dynamic
+    trip count) via two-point differential timing; returns (t_per, floored).
+
+    Chooses dk so the k2 chain carries >= target_s of real work (RTT and
+    contention amortize), then uses (min t2 - min t1)/dk.  A result under
+    floor_s (the physical HBM floor) after retries is reported AS the floor,
+    flagged, so impossible rates never enter the artifact.
+    """
+    k1 = 4
+    float(many(x, k1))  # compile + warm
+    t0 = time.perf_counter()
+    float(many(x, k1))
+    per_hint = (time.perf_counter() - t0) / k1  # overestimate (includes RTT)
+    dk = 16
+    for _ in range(4):
+        while dk < max_k and per_hint * dk < target_s:
+            dk *= 2
+        k2 = k1 + dk
+        t1s, t2s = [], []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            float(many(x, k1))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(many(x, k2))
+            t2s.append(time.perf_counter() - t0)
+        t_per = (min(t2s) - min(t1s)) / dk
+        per_hint = max(t_per, 1e-7)
+        if t_per >= floor_s and t_per * dk >= 0.25 * target_s:
+            return max(t_per, 1e-9), False
+        if dk >= max_k:
+            break
+        dk = min(max_k, dk * 4)
+    if t_per < floor_s:
+        return floor_s, True
+    return max(t_per, 1e-9), False
+
+
+def bench_config(n: int, batch: int, floor_s: float = 0.0):
     """floor_s: physical lower bound on the per-FFT time (one HBM read +
-    one write at the same-run stream rate, with margin).  The tunneled
-    runtime's scalar readback occasionally returns BEFORE the chain
-    completes (round-4: 1009 measured 0.036 ms/fft = 780%% of roofline,
-    sane 0.8 ms on rerun); best-of-N min() latches such rounds, so any
-    round under the floor is discarded as an async artifact."""
+    one write at the same-run stream rate, with margin)."""
     import jax
+    import jax.numpy as jnp
 
     from rustfft_tpu import FftPlanner
 
     plan = FftPlanner().plan_fft_forward(n)
     rng = np.random.default_rng(0)
-    # tiny magnitudes so `iters` chained unnormalized FFTs (growth ~n^(iters/2))
-    # stay finite in f32 without a per-iteration scale (which would add an
-    # elementwise HBM pass that XLA cannot fuse into the Pallas kernels)
+    # tiny magnitudes so the chained unnormalized FFTs stay finite longer in
+    # f32 without a per-iteration scale (which would add an elementwise HBM
+    # pass XLA cannot fuse into the Pallas kernels); once a long chain does
+    # overflow, inf/nan arithmetic runs at full rate on the TPU VPU/MXU
     re = jax.device_put((rng.standard_normal((batch, n)) * 1e-30).astype(np.float32))
     im = jax.device_put((rng.standard_normal((batch, n)) * 1e-30).astype(np.float32))
     raw = plan.raw_fn
 
     @jax.jit
-    def many(x):
-        x = jax.lax.fori_loop(0, iters, lambda i, x: raw(x), x)
+    def many(x, k):
+        x = jax.lax.fori_loop(0, k, lambda i, x: raw(x), x)
         return x[0].sum() + x[1].sum()
 
-    @jax.jit
-    def nothing(x):
-        return x[0][0, 0] + x[1][0, 0]
+    def run(x, k):
+        return many(x, jnp.asarray(k, jnp.int32))
 
-    float(many((re, im)))  # compile + warm
-    float(nothing((re, im)))
-    t0 = time.perf_counter()
-    float(nothing((re, im)))
-    t_over = time.perf_counter() - t0
-    # the device may be time-shared; best-of-N approximates unloaded speed.
-    # The small/prime routes (many tiny grid steps) are the most contention-
-    # exposed (r2 driver run: 1009 came out 2.3x below within-run at the
-    # same stream rate), so give them extra rounds.
-    rounds = 5 if n <= 16384 else 3
-    times = []
-    for _ in range(rounds + 5):  # up to 5 retries if rounds fall under floor
-        t0 = time.perf_counter()
-        float(many((re, im)))
-        t = time.perf_counter() - t0
-        if (t - t_over) / iters >= floor_s:
-            times.append(t)
-        if len(times) >= rounds:
-            break
-    if not times:  # every round under-floor: report the floor, FLAGGED
-        # (the true time is unknowable from these rounds; the floor is an
-        # optimistic bound, so the JSON carries the size in floored_sizes)
-        print(f"# n={n}: all rounds under the physical floor "
-              f"({floor_s*1e3:.3f} ms) — async readback artifact",
+    t_per, was_floored = diff_time(run, (re, im), floor_s=floor_s)
+    if was_floored:
+        print(f"# n={n}: differential time under the physical floor "
+              f"({floor_s*1e3:.3f} ms) — reporting the floor, flagged",
               file=sys.stderr)
-        return floor_s, 5.0 * batch * n * math.log2(n) / floor_s / 1e9, True
-    t_per = max((min(times) - t_over) / iters, 1e-9)
     gflops = 5.0 * batch * n * math.log2(n) / t_per / 1e9
-    return t_per, gflops, False
+    return t_per, gflops, was_floored
 
 
-def bench_stream(nbytes: int = 1 << 28, iters: int = 8):
+def bench_stream(nbytes: int = 1 << 28):
     """Same-run HBM stream rate (GB/s): chained elementwise scale, one read +
     one write per iteration, timed exactly like bench_config.
 
@@ -94,34 +115,21 @@ def bench_stream(nbytes: int = 1 << 28, iters: int = 8):
     """
     import jax
 
+    import jax.numpy as jnp
+
     size = nbytes // 4
     x = jax.device_put(np.full((size,), 1.0, np.float32))
 
     @jax.jit
-    def many(x):
+    def many(x, k):
         # loop iterations cannot fuse with each other: each is 1 read + 1 write
-        return jax.lax.fori_loop(0, iters, lambda i, v: v * 1.0000001, x)[0]
+        return jax.lax.fori_loop(0, k, lambda i, v: v * 1.0000001, x)[0]
 
-    @jax.jit
-    def nothing(x):
-        return x[0]
-
-    float(many(x))
-    float(nothing(x))
-    t0 = time.perf_counter()
-    float(nothing(x))
-    t_over = time.perf_counter() - t0
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(many(x))
-        t = time.perf_counter() - t0
-        best = t if best is None else min(best, t)
-    t_per = max((best - t_over) / iters, 1e-9)
+    t_per, _ = diff_time(lambda x, k: many(x, jnp.asarray(k, jnp.int32)), x)
     return 2 * 4 * size / t_per / 1e9
 
 
-def bench_matmul(dim: int = 4096, iters: int = 8):
+def bench_matmul(dim: int = 4096):
     """Same-run MXU bf16 matmul rate (TFLOP/s): chained (dim, dim) single-pass
     bf16 dots, timed exactly like bench_config.  This is the compute-roofline
     denominator for the op-count-bound bands (the memory stream rate is the
@@ -138,7 +146,7 @@ def bench_matmul(dim: int = 4096, iters: int = 8):
     )
 
     @jax.jit
-    def many(v):
+    def many(v, k):
         def body(i, v):
             return jax.lax.dot(
                 v, w, preferred_element_type=jnp.float32
@@ -149,25 +157,10 @@ def bench_matmul(dim: int = 4096, iters: int = 8):
         # row — measured 14 PFLOP/s, i.e. nonsense); the sum forces every
         # element of every iteration
         return jnp.sum(
-            jax.lax.fori_loop(0, iters, body, v).astype(jnp.float32)
+            jax.lax.fori_loop(0, k, body, v).astype(jnp.float32)
         )
 
-    @jax.jit
-    def nothing(v):
-        return jnp.sum(v.astype(jnp.float32))
-
-    float(many(v))
-    float(nothing(v))
-    t0 = time.perf_counter()
-    float(nothing(v))
-    t_over = time.perf_counter() - t0
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(many(v))
-        t = time.perf_counter() - t0
-        best = t if best is None else min(best, t)
-    t_per = max((best - t_over) / iters, 1e-9)
+    t_per, _ = diff_time(lambda v, k: many(v, jnp.asarray(k, jnp.int32)), v)
     return 2.0 * dim**3 / t_per / 1e12
 
 

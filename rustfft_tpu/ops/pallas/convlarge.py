@@ -126,7 +126,9 @@ def bconv_supported(m: int, dtype, n: Optional[int] = None) -> bool:
     if pqq is None:
         return False
     _, q1, q2 = pqq
-    return _bconv_vmem_units(q1 * q2) <= config.pallas_vmem_limit
+    # the kernel requests its own VMEM (up to the 100M hardware-validated
+    # ceiling), so feasibility is judged against that, not the global default
+    return int(1.25 * _bconv_vmem_units(q1 * q2)) <= 100 * 1024 * 1024
 
 
 def make_bluestein_large_fn(
@@ -198,7 +200,15 @@ def make_bluestein_large_fn(
         _kernel_bconv, q1, q2, pt, precision, variant
     )
     kernel_a2 = functools.partial(_kernel_a2, p, qt2, pkeep, precision)
-    cparams = pltpu.CompilerParams(vmem_limit_bytes=config.pallas_vmem_limit)
+    # B_conv's two chained sublane FFTs + tables legitimately need more
+    # scoped VMEM than the global default (hardware: 71.57M at q=6144 vs
+    # the 64M limit — Mosaic OOM); request this kernel's own estimate with
+    # margin, capped at the 100M that large2f's 2^25 split also uses.
+    vmem_request = min(
+        100 * 1024 * 1024,
+        max(config.pallas_vmem_limit, int(1.25 * _bconv_vmem_units(q))),
+    )
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=vmem_request)
 
     def const_spec(w):
         return pl.BlockSpec(

@@ -69,26 +69,42 @@ def _passes(precision) -> int:
 
 
 def _weight_bytes(n: int, variant: str, precision) -> int:
-    """Weight-table VMEM bytes: gauss ships 3 (np, np) tables, block one
-    (2np, 2np) — each as a bf16 (hi, lo) pair (f32-sized total)."""
+    """Weight-table VMEM bytes, precision-aware.
+
+    Per logical table of E elements: the cat tiers ship ONE bf16
+    (out, passes*K) table = 2*passes*E bytes (1.5x the non-cat pair at
+    3 passes — this blew VMEM at n=2003 before it was modeled); the
+    split tiers ship a bf16 (hi, lo) pair = 4*E; XLA-precision tiers a
+    f32 table = 4*E.  gauss has 3 tables of npad^2, block one of 4*npad^2.
+    """
     npad = _n_pad(n)
-    per = 4 * npad * npad  # hi+lo bf16 = 4 bytes/element
-    return 3 * per if variant == "gauss" else 4 * per
+    elems = 3 * npad * npad if variant == "gauss" else 4 * npad * npad
+    if precision in CAT_TIERS:
+        return 2 * _passes(precision) * elems
+    return 4 * elems
 
 
 def _vmem_bytes(n: int, bt: int, variant: str, precision) -> int:
-    # x/out pairs + bf16 splits + the 3 product tiles: ~10 (bt, npad) f32
-    work = 10 * bt * _n_pad(n) * 4
-    return _weight_bytes(n, variant, precision) + work
+    npad = _n_pad(n)
+    # x/out windows are double-buffered (2 levels x 4 refs), plus the
+    # product tiles / bf16 split temporaries: ~6 (bt, npad) f32 of work
+    windows = 2 * 4 * bt * npad * 4
+    work = 6 * bt * npad * 4
+    return _weight_bytes(n, variant, precision) + windows + work
 
 
 def dense_supported(n: int, dtype, variant: str = "gauss") -> bool:
-    """True when the dense whole-DFT kernel can serve length n (c64)."""
+    """True when the dense whole-DFT kernel can serve length n (c64).
+
+    Feasibility is judged at the NON-cat f32-grade footprint — if the
+    default cat tier would exceed VMEM, make_dense_fft_fn silently drops
+    to the split tier (same accuracy, one more MXU instruction/stage).
+    """
     if np.dtype(dtype) != np.complex64:
         return False
     if n < 4:
         return False
-    return _vmem_bytes(n, 128, variant, None) <= config.pallas_vmem_limit
+    return _vmem_bytes(n, 64, variant, "bf16x3") <= config.pallas_vmem_limit
 
 
 def _kernel_gauss(n, npad, precision, xr_ref, xi_ref, wr_hi_ref, wr_lo_ref,
@@ -168,6 +184,15 @@ def make_dense_fft_fn(
         # — the transposed cat tables break its single-GEMM layout), gauss
         # ties or wins under cat (729: 544 vs 372 at misaligned rows)
         precision = "bf16x3" if variant == "block" else "bf16x3s"
+    # cat-tier tables are 1.5x the split pair; drop to the split twin when
+    # they would exceed the VMEM budget (hardware OOM at n=2003 otherwise:
+    # 3 single-buffered bf16 (2048, 6144) tables = 72MB + windows > 128MB)
+    if (
+        precision in CAT_TIERS
+        and _vmem_bytes(L, batch_tile or 64, variant, precision)
+        > config.pallas_vmem_limit
+    ):
+        precision = {"bf16x3s": "bf16x3", "bf16x2s": "bf16x2"}[precision]
     precision = resolve_precision(precision, interpret)
     Lk = npad if aligned else L  # kernel-visible row length
 

@@ -15,46 +15,61 @@ import numpy as np
 
 
 def time_fn(fn, re, im, iters=8, rounds=3):
-    """Best-of-`rounds` per-call time for fn chained `iters` times.
+    """Per-call time for fn via two-point differential timing.
 
-    Floor guard: the tunneled runtime's scalar readback occasionally returns
-    BEFORE the chain completes (round-4 bench: 1009 measured 780% of
-    roofline, sane on rerun), and best-of-N min() latches such rounds.  Any
-    round whose per-call time is below the physical HBM floor (one read +
-    one write of the f32 pair at 1.1 TB/s — above any measured v5e stream
-    rate) is discarded as an async artifact; returns NaN if every round
-    (plus retries) lands under the floor, so bogus rows stay visible.
+    The tunneled runtime carries a ~25 ms dispatch+readback RTT per call and
+    no reliable sync, so short chains are RTT-noise dominated (round-4 bench:
+    1009 measured 780% of roofline on one run, NaN on the next).  The chain
+    length is a RUNTIME scalar (dynamic fori_loop trip count — one compile
+    for every k); timing two lengths k1 < k2 and taking
+    (t(k2)-t(k1))/(k2-k1) cancels the RTT exactly.  `iters` is kept as a
+    starting hint for dk.  Returns NaN only if the differential lands under
+    the physical HBM floor (one read + one write of the f32 pair at
+    1.1 TB/s) after escalating dk — bogus rows stay visible.
     """
     import jax
+    import jax.numpy as jnp
 
     floor_s = 16.0 * re.size / 1.1e12
 
     @jax.jit
-    def many(x):
-        x = jax.lax.fori_loop(0, iters, lambda i, x: fn(x), x)
+    def many(x, k):
+        x = jax.lax.fori_loop(0, k, lambda i, x: fn(x), x)
         return x[0].sum() + x[1].sum()
 
-    @jax.jit
-    def nothing(x):
-        return x[0][0, 0] + x[1][0, 0]
+    def run(x, k):
+        return float(many(x, jnp.asarray(k, jnp.int32)))
 
-    float(many((re, im)))
-    float(nothing((re, im)))
+    x = (re, im)
+    k1 = 4
+    run(x, k1)  # compile + warm
     t0 = time.perf_counter()
-    float(nothing((re, im)))
-    t_over = time.perf_counter() - t0
-    times = []
-    for _ in range(rounds + 5):
-        t0 = time.perf_counter()
-        float(many((re, im)))
-        t = time.perf_counter() - t0
-        if (t - t_over) / iters >= floor_s:
-            times.append(t)
-        if len(times) >= rounds:
+    run(x, k1)
+    per_hint = (time.perf_counter() - t0) / k1  # overestimate (includes RTT)
+    target_s, max_k = 0.25, 4096
+    dk = max(8, iters)
+    t_per = float("nan")
+    for _ in range(4):
+        while dk < max_k and per_hint * dk < target_s:
+            dk *= 2
+        t1s, t2s = [], []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            run(x, k1)
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            run(x, k1 + dk)
+            t2s.append(time.perf_counter() - t0)
+        t_per = (min(t2s) - min(t1s)) / dk
+        per_hint = max(t_per, 1e-7)
+        if t_per >= floor_s and t_per * dk >= 0.25 * target_s:
+            return max(t_per, 1e-9)
+        if dk >= max_k:
             break
-    if not times:
+        dk = min(max_k, dk * 4)
+    if t_per < floor_s:
         return float("nan")
-    return max((min(times) - t_over) / iters, 1e-9)
+    return max(t_per, 1e-9)
 
 
 def main():
