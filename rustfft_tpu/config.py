@@ -44,13 +44,15 @@ class FftConfig:
     pallas_min_n: int = 512
 
     #: Dense whole-DFT matmul kernel (ops/pallas/dense.py) band: sizes in
-    #: [dense_min_n, dense_max_n] ALWAYS route dense — one MXU GEMM per
-    #: batch tile, any length.  Round-4 hardware sweep (tools/perf_dense.py,
-    #: f32-grade rows): dense wins 256 (918 vs XLA 439 GF/s), 500 (560 vs
-    #: 160), 512 (577 vs lanepack-cat ~500), 729 (544 vs lanepack ~280);
-    #: XLA keeps 64 (767 vs 430) and ties 128 (944 vs 966); lanepack keeps
-    #: 1024 (567 vs dense 414).  Crossovers: in at 129, out after 768.
-    dense_min_n: int = 129
+    #: [dense_min_n, dense_max_n] route dense — one MXU GEMM per batch
+    #: tile, any length — when dense.pad_worth_it(n) passes (lane-pad
+    #: ratio <= 1.25, or a prime factor > 32 so the XLA alternative is a
+    #: slow Rader/Bluestein tree).  Round-4 boundary sweep
+    #: (tools/perf_small.py, differential timer, same-run): dense wins 125
+    #: (617 vs XLA 514), 128 (648 vs 575), 243-768 (1.3-2.7x); XLA keeps
+    #: 96/100 (680 vs ~470) and the high-pad 144/160 (427/446 vs 324/365);
+    #: lanepack keeps 1000+ (1024: 572 vs dense 393).
+    dense_min_n: int = 125
     dense_max_n: int = 768
 
     #: Largest transform routed to the dense kernel when NO other Pallas

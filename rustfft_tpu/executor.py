@@ -105,10 +105,13 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
 
     # tier 0: dense whole-DFT matmul — one MXU GEMM, any length; outranks
     # the factored tiers below config.dense_max_n (and backstops sizes no
-    # other tier serves, below — primes / misaligned smalls)
+    # other tier serves, below — primes / misaligned smalls).  pad_worth_it
+    # keeps high-pad smooth sizes (144/160/192-class) on the XLA path,
+    # which beats a 1.3x+-padded GEMM there (round-4 boundary sweep).
     if (
         config.dense_min_n <= n <= config.dense_max_n
         and dense.dense_supported(n, dtype)
+        and dense.pad_worth_it(n)
     ):
         return "dense"
 
@@ -116,6 +119,7 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
         if (
             config.dense_min_n <= n <= config.dense_fallback_max_n
             and dense.dense_supported(n, dtype)
+            and dense.pad_worth_it(n)
         ):
             return "dense"
         return None

@@ -93,6 +93,28 @@ def _vmem_bytes(n: int, bt: int, variant: str, precision) -> int:
     return _weight_bytes(n, variant, precision) + windows + work
 
 
+def pad_worth_it(n: int) -> bool:
+    """Routing gate: is the dense kernel's lane padding cheap enough at n?
+
+    The kernel pads the (packed) row to the 128-lane multiple — real MXU
+    work.  Round-4 hardware boundary sweep (tools/perf_small.py,
+    differential timer): dense wins whenever the pad ratio is small (125:
+    617 vs XLA 514; 128: 648 vs 575; 243: 586 vs 437; 256: 634 vs 436) and
+    LOSES to the XLA path at high-pad smooth sizes (144, ratio 1.78: 324
+    vs 427; 160, ratio 1.6: 365 vs 446; 192, ratio 1.33: tie).  Sizes with
+    a prime factor > 32 have no fast XLA alternative (the recipe tree goes
+    Rader/Bluestein there — 85 GF/s at 2003 vs dense 215), so they route
+    dense regardless of padding.
+    """
+    from ...math_utils import PrimeFactors
+
+    g = _pack_group(n)
+    L = g * n
+    if _n_pad(L) <= 1.25 * L:
+        return True
+    return PrimeFactors.compute(n).has_factors_gt(32)
+
+
 def dense_supported(n: int, dtype, variant: str = "gauss") -> bool:
     """True when the dense whole-DFT kernel can serve length n (c64).
 

@@ -488,12 +488,15 @@ def test_pallas_route_table():
     from rustfft_tpu import executor
 
     expect = {
-        # round-4 dense band [129, 768]: one whole-DFT MXU GEMM beats the
-        # factored tiers there (tools/perf_dense.py: 256: 918 vs 439, 512:
-        # 577 vs ~500, 729: 544 vs ~280 GF/s); primes/misaligned with no
-        # factored tier fall back to dense up to 2048 (1009: 349 vs 106)
+        # round-4 dense band [125, 768] gated by pad_worth_it: one
+        # whole-DFT MXU GEMM beats the factored tiers there
+        # (tools/perf_small.py differential rows: 256: 634 vs 436, 512:
+        # 595 vs 267, 729: 372 vs 183 GF/s); high-pad smooth sizes stay
+        # XLA (144: 427 vs 324); primes/misaligned with no factored tier
+        # fall back to dense up to 2048 (1009: 438 vs ~106, 2003: 215 vs 86)
         256: "dense", 500: "dense", 512: "dense", 537: "dense",
-        729: "dense", 1009: "dense", 128: None, 64: None,
+        729: "dense", 1009: "dense", 2003: "dense",
+        125: "dense", 128: "dense", 144: None, 160: None, 64: None,
         1024: "lanepack", 2048: "lanepack",
         3888: "lanepack", 7776: "lanepack",
         # 4096 moved to lanepack in round 4: under the bf16x3s cat tier
