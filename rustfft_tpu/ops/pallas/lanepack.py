@@ -288,10 +288,17 @@ def make_lanepack_fn(
     """
     assert np.dtype(dtype) == np.complex64, "lanepack kernel is c64/f32 only"
     if group is None:
-        # g=2 when the doubled working set still fits (measured +9% at 3888;
-        # ~26 live pairs at g=2 — double the calibrated g=1 footprint)
+        # round-4 ladder (tools/perf_lpgroup.py, differential timer,
+        # same-run): taller grid steps amortize the per-step transpose/dot
+        # latency at small n — 512: g8 587 vs g1 517; 1024: g4 617 vs 579;
+        # but LOSE from 2048 up (2048: g1 630 vs g4 575; 3888: g1 478 vs
+        # g2 442 — the old "g=2 at n>=3000" default was a pre-differential
+        # timing artifact).  Halve g until the working set (~26 live pairs
+        # per group) fits the VMEM budget.
         effective = max(config.pallas_vmem_limit, _VMEM_REQUEST)
-        group = 2 if n >= 3000 and 26 * 2 * 4 * n * LANES <= effective else 1
+        group = 8 if n <= 512 else (4 if n <= 1024 else 1)
+        while group > 1 and 26 * group * 4 * n * LANES > effective:
+            group //= 2
     radices = tuple(radices or choose_radices(n))
     assert int(np.prod(radices)) == n, (radices, n)
     k = len(radices)
