@@ -284,10 +284,14 @@ def make_raders_fn(
         config.rader_gather == "kernel" and permute.permute_supported(m, dtype)
     )
     if use_radix and kernel_perms:
+        # x0_add/emit_sum fuse the Rader epilogue fixups into the two
+        # passes: the only XLA op left after the core is the DC concat
+        # (measured 3.1ms of sum+add+concat at (512, 65537) before).
         core = conv_radix.make_radix_conv_fn(
             m, direction, dtype, h=b_fft, conj_out=True,
             interpret=interpret, batch_tile=batch_tile,
             in_perm=perm_in - 1, out_perm=inv_gather,
+            x0_add=True, emit_sum=True,
         )
         fused_perms = True
     else:
@@ -319,17 +323,23 @@ def make_raders_fn(
 
     def apply(x):
         xr, xi = x
+        # rest[t] = conj(D[inv] + conj(x0)) = conj(D[inv]) + x0
+        if fused_perms:
+            # core applies both permutations, the conj, AND the Rader
+            # fixups in-kernel: pass 2 adds x0 to every bin, pass 1 emits
+            # the exact f32 sum of x[1:] for the DC bin — the epilogue is
+            # one concat
+            x0 = (xr[..., :1], xi[..., :1])
+            rest, sums = core((xr[..., 1:], xi[..., 1:]), const=x0)
+            # out[0] = x[0] + A[0] = x[0] + sum(x[1:])  (raders_algorithm
+            # .rs:202; A[0] is permutation-invariant)
+            out0 = (x0[0] + sums[0], x0[1] + sums[1])
+            return calg.concat_last(out0, rest)
         # out[0] = x[0] + A[0] = sum(x)  (A[0] = sum over permuted inputs)
         out0 = (
             jnp.sum(xr, axis=-1, keepdims=True),
             jnp.sum(xi, axis=-1, keepdims=True),
         )
-        # rest[t] = conj(D[inv] + conj(x0)) = conj(D[inv]) + x0
-        if fused_perms:
-            # core applies both permutations AND the conj in-kernel
-            gr, gi = core((xr[..., 1:], xi[..., 1:]))
-            rest = (gr + xr[..., :1], gi + xi[..., :1])
-            return calg.concat_last(out0, rest)
         if in_perm_fn is not None:
             a = in_perm_fn((xr[..., 1:], xi[..., 1:]))
         else:

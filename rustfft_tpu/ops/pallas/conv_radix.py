@@ -58,13 +58,13 @@ def radix_conv_supported(m: int, dtype) -> bool:
 
 
 def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
-            conj_out, has_post, has_inperm, has_outperm,
-            xr_ref, xi_ref, wp_hi_ref, wp_lo_ref,
+            conj_out, has_post, has_inperm, has_outperm, has_sum, has_addc,
+            xr_ref, xi_ref, x0r_ref, x0i_ref, wp_hi_ref, wp_lo_ref,
             wq_hi_ref, wq_lo_ref, t1r_ref, t1i_ref, t2r_ref, t2i_ref,
             prer_ref, prei_ref, hr_ref, hi_ref, postr_ref, posti_ref,
             i1_ref, i2_ref, i3_ref, i4_ref, i5_ref,
             o1_ref, o2_ref, o3_ref, o4_ref, o5_ref,
-            or_ref, oi_ref):
+            or_ref, oi_ref, *sum_refs):
     """One batch tile: (tb*p_in, r*q) natural -> (tb*q, r*p) natural, with
     optional elementwise prologue (pre) and epilogues (conj(.H) / conj /
     post) around the vpur FFT body (fused._fused_kernel_vpur derivation).
@@ -79,8 +79,32 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
     (the (j1, a) digits land interleaved on sublanes — merging them back
     to the natural (p_in, r*q) lane layout would be a lane merge, illegal
     in VMEM).
+
+    has_sum (pass 1): emit the per-signal EXACT f32 sum of the raw input
+    block as an extra (tb, 128) output — rides the pass's existing HBM
+    read so the Rader DC bin (out[0] = x0 + sum(x[1:]), raders_algorithm.rs
+    :202) costs no separate XLA reduction pass over the m-point signal.
+    The sum is over raw f32 inputs BEFORE any bf16 split (unlike the
+    rejected DC-from-core trim, which summed the kernel's bf16-path
+    output and amplified its error ~30x).
+
+    has_addc (pass 2): fuse `out += const` (per-signal complex broadcast,
+    the Rader "+x0 to every bin" fixup) into the pass — the add commutes
+    with the output permutation, so it lands after conj and before the
+    Benes phases.
     """
     m1 = r * p
+    if has_sum:
+        osr_ref, osi_ref = sum_refs
+        in_rows = (r * p) if has_inperm else p_in
+        sr_sum = jnp.sum(
+            xr_ref[:].reshape(tb, in_rows, -1), axis=(1, 2)
+        )
+        si_sum = jnp.sum(
+            xi_ref[:].reshape(tb, in_rows, -1), axis=(1, 2)
+        )
+        osr_ref[:] = jnp.broadcast_to(sr_sum[:, None], (tb, 128))
+        osi_ref[:] = jnp.broadcast_to(si_sum[:, None], (tb, 128))
     if has_inperm:
         w_rows = r * p  # m // q, q == 128
         iz1, iy1, iy2, iz2 = i1_ref[:], i2_ref[:], i4_ref[:], i5_ref[:]
@@ -166,6 +190,9 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
         zi4 = jnp.stack(outs_i, axis=2)
         if conj_out:
             zi4 = -zi4
+        if has_addc:
+            zr4 = zr4 + x0r_ref[:, :1].reshape(tb, 1, 1, 1)
+            zi4 = zi4 + x0i_ref[:, :1].reshape(tb, 1, 1, 1)
         iz1, iy1, iy2, iz2 = o1_ref[:], o2_ref[:], o4_ref[:], o5_ref[:]
         sel_a = o3_ref[:]
         sel = [[sel_a[xd, xs] for xs in range(r)] for xd in range(r)]
@@ -196,13 +223,17 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
         outi = zr * posti + zi * postr
     else:
         outr, outi = zr, zi
+    if has_addc:
+        outr = outr + x0r_ref[:, :1].reshape(tb, 1, 1)
+        outi = outi + x0i_ref[:, :1].reshape(tb, 1, 1)
     or_ref[:] = outr.reshape(tb * q, m1)
     oi_ref[:] = outi.reshape(tb * q, m1)
 
 
 def _make_pass(
     m, r, p, q, direction, precision, interpret, p_in, pre, h, conj_out, post,
-    batch_tile=None, in_perm=None, out_perm=None,
+    batch_tile=None, in_perm=None, out_perm=None, emit_sum=False,
+    add_const=False,
 ):
     """Build one vpur conv pass: fn(xr, xi) on (batch, p_in*r*q) 2D input,
     returning (batch, m) natural-order arrays.
@@ -219,6 +250,8 @@ def _make_pass(
     m1 = r * p
     has_inperm = in_perm is not None
     has_outperm = out_perm is not None
+    has_sum = bool(emit_sum)
+    has_addc = bool(add_const)
     if has_inperm:
         assert q == 128 and p_in == p and pre is None
     if has_outperm:
@@ -292,7 +325,7 @@ def _make_pass(
 
     w_rows = r * p  # (W, Z) rows of one signal, q == Z == 128
 
-    def call(xr, xi):
+    def call(xr, xi, x0=None):
         batch = xr.shape[0]
         tb = _tb(batch)
         pad_b = (-batch) % tb
@@ -302,8 +335,28 @@ def _make_pass(
         bpad = batch + pad_b
         k = functools.partial(
             _kernel, r, p, q, tb, p_in, precision, direction, has_pre,
-            has_h, conj_out, has_post, has_inperm, has_outperm,
+            has_h, conj_out, has_post, has_inperm, has_outperm, has_sum,
+            has_addc,
         )
+        if has_addc:
+            assert x0 is not None
+            x0r = jnp.broadcast_to(
+                x0[0].reshape(batch, 1).astype(jnp.float32), (batch, 128)
+            )
+            x0i = jnp.broadcast_to(
+                x0[1].reshape(batch, 1).astype(jnp.float32), (batch, 128)
+            )
+            if pad_b:
+                x0r = jnp.pad(x0r, ((0, pad_b), (0, 0)))
+                x0i = jnp.pad(x0i, ((0, pad_b), (0, 0)))
+            x0_arrs = [x0r, x0i]
+            x0_specs = [pl.BlockSpec(
+                (tb, 128), i32map(lambda i: (i, 0)),
+                memory_space=pltpu.VMEM,
+            )] * 2
+        else:
+            x0_arrs = [jnp.zeros((1, 1), jnp.float32)] * 2
+            x0_specs = None  # filled below once cspec exists
         if has_inperm:
             in_bspec = pl.BlockSpec(
                 (tb * w_rows, q), i32map(lambda i: (i, 0)),
@@ -341,21 +394,39 @@ def _make_pass(
                 w.shape, i32map(lambda i: (0,) * nd), memory_space=pltpu.VMEM
             )
 
-        out_r, out_i = pl.pallas_call(
+        if x0_specs is None:
+            x0_specs = [cspec(w) for w in x0_arrs]
+        out_specs = [out_bspec, out_bspec]
+        if has_sum:
+            sum_bspec = pl.BlockSpec(
+                (tb, 128), i32map(lambda i: (i, 0)),
+                memory_space=pltpu.VMEM,
+            )
+            out_specs += [sum_bspec, sum_bspec]
+            out_shape = list(out_shape) + [
+                jax.ShapeDtypeStruct((bpad, 128), jnp.float32)
+            ] * 2
+
+        outs = pl.pallas_call(
             k,
             grid=(bpad // tb,),
-            in_specs=[in_bspec, in_bspec] + [cspec(w) for w in consts],
-            out_specs=[out_bspec, out_bspec],
+            in_specs=[in_bspec, in_bspec] + x0_specs
+            + [cspec(w) for w in consts],
+            out_specs=out_specs,
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=max(config.pallas_vmem_limit, 112 * 2**20)
             ),
             interpret=interpret,
-        )(xr2, xi2, *[jnp.asarray(w) for w in consts])
-        return (
+        )(xr2, xi2, *x0_arrs, *[jnp.asarray(w) for w in consts])
+        out_r, out_i = outs[0], outs[1]
+        res = (
             out_r.reshape(bpad, m)[:batch],
             out_i.reshape(bpad, m)[:batch],
         )
+        if has_sum:
+            return res, (outs[2][:batch, :1], outs[3][:batch, :1])
+        return res
 
     return call
 
@@ -375,6 +446,8 @@ def make_radix_conv_fn(
     batch_tile=None,
     in_perm: Optional[np.ndarray] = None,
     out_perm: Optional[np.ndarray] = None,
+    x0_add: bool = False,
+    emit_sum: bool = False,
 ) -> Callable:
     """Build fn: Cplx (..., n_in) -> Cplx (..., n_out) computing
 
@@ -386,6 +459,16 @@ def make_radix_conv_fn(
     read resp. pass 2's write as in-VMEM Benes phases — the TPU analogue of
     RadersAvx2's in-register gathers (avx_raders.rs:243-307).  Requires
     n_in == m and pre is None (in) / post is None (out).
+
+    Rader epilogue fusion (raders_algorithm.rs:202,219-233 fixups):
+    * x0_add: apply becomes fn(x, const=(cr, ci)) and pass 2 adds the
+      per-signal complex const to EVERY output bin in-kernel (the hoisted
+      "+x0" fixup) — saves one XLA read+write round trip of the m-point
+      pair.
+    * emit_sum: apply returns ((out_r, out_i), (sum_r, sum_i)) where the
+      sums are exact f32 per-signal input sums (shape (..., 1)) computed
+      from pass 1's raw block — the Rader DC bin rides the kernel's HBM
+      read instead of a separate XLA reduction pass.
     """
     assert np.dtype(dtype) == np.complex64
     rpq = choose_rpq(m)
@@ -413,15 +496,15 @@ def make_radix_conv_fn(
     pass1 = _make_pass(
         m, r, p, q, direction, precision, interpret,
         p_in=p_in, pre=eff_pre, h=h, conj_out=False, post=None,
-        batch_tile=batch_tile, in_perm=in_perm,
+        batch_tile=batch_tile, in_perm=in_perm, emit_sum=emit_sum,
     )
     pass2 = _make_pass(
         m, r, p, q, direction, precision, interpret,
         p_in=p, pre=None, h=None, conj_out=conj_out, post=post,
-        batch_tile=batch_tile, out_perm=out_perm,
+        batch_tile=batch_tile, out_perm=out_perm, add_const=x0_add,
     )
 
-    def apply(x):
+    def apply(x, const=None):
         xr, xi = x
         shape = xr.shape
         flat_r = xr.reshape(-1, shape[-1])
@@ -430,11 +513,26 @@ def make_radix_conv_fn(
             pad = p_in * r * q - shape[-1]
             flat_r = jnp.pad(flat_r, ((0, 0), (0, pad)))
             flat_i = jnp.pad(flat_i, ((0, 0), (0, pad)))
-        zr, zi = pass1(flat_r, flat_i)
-        out_r, out_i = pass2(zr, zi)
-        return (
+        p1 = pass1(flat_r, flat_i)
+        sums = None
+        if emit_sum:
+            (zr, zi), sums = p1
+        else:
+            zr, zi = p1
+        x0 = None
+        if x0_add:
+            assert const is not None
+            x0 = (const[0].reshape(-1, 1), const[1].reshape(-1, 1))
+        out_r, out_i = pass2(zr, zi, x0=x0)
+        res = (
             out_r[:, :n_out].reshape(shape[:-1] + (n_out,)),
             out_i[:, :n_out].reshape(shape[:-1] + (n_out,)),
         )
+        if emit_sum:
+            return res, (
+                sums[0].reshape(shape[:-1] + (1,)),
+                sums[1].reshape(shape[:-1] + (1,)),
+            )
+        return res
 
     return apply

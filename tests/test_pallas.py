@@ -731,6 +731,36 @@ def test_radix_conv_bluestein_matches_oracle():
     assert err < 1e-2, err
 
 
+def test_radix_conv_epilogue_fusion():
+    """x0_add / emit_sum (the fused Rader epilogue): pass 2 adds the
+    per-signal const to every bin, pass 1 emits exact f32 input sums."""
+    from rustfft_tpu.ops import bluestein as op_bluestein
+    from rustfft_tpu.ops.pallas import conv_radix
+
+    m = 32768
+    # identity-ish conv: h = FFT spectrum of a delta is all-ones, so the
+    # core computes conj(FFT(conj(FFT(x)))) = m * x (forward-forward pair)
+    h = np.ones(m, np.complex128)
+    sig = random_signal(2 * m, dtype=np.complex64, seed=7).reshape(2, m)
+    c0 = (np.float32([[0.5], [-1.25]]), np.float32([[2.0], [0.75]]))
+    fn = conv_radix.make_radix_conv_fn(
+        m, FftDirection.FORWARD, np.complex64, h=h, conj_out=True,
+        interpret=True, x0_add=True, emit_sum=True,
+    )
+    (o_r, o_i), (s_r, s_i) = fn((sig.real, sig.imag), const=c0)
+    assert o_r.shape == (2, m) and s_r.shape == (2, 1)
+    np.testing.assert_allclose(
+        np.asarray(s_r)[:, 0], sig.real.sum(axis=-1), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_i)[:, 0], sig.imag.sum(axis=-1), rtol=1e-5, atol=1e-4
+    )
+    want = m * sig + (c0[0] + 1j * c0[1])
+    got = np.asarray(o_r) + 1j * np.asarray(o_i)
+    err = mean_element_error(got / m, want / m)
+    assert err < 1e-2, err
+
+
 def test_radix_conv_rader_65537(monkeypatch):
     """Rader at the headline prime routes through the radix conv core when
     the threshold admits its inner (65536 = 4*128*128)."""
