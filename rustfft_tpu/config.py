@@ -8,6 +8,7 @@ kernel-selection thresholds for the TPU planner cost model.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 import jax
 
@@ -174,6 +175,24 @@ class FftConfig:
     #: 2^20 (812 vs 807 / 889 vs 919 / 833 vs 821) — flipped to default.
     #: Other accepted values: jax.lax.Precision.HIGHEST / .DEFAULT.
     pallas_precision: object = "bf16x3s"
+
+    #: Radix-r fused-kernel variant.  "ctwg" (default) = merged twiddle
+    #: table + per-c twiddle-folded stage-B weights + Gauss 3-multiplication
+    #: complex GEMMs (25% less MXU work per stage).  Hardware A/B at x3s
+    #: (tools/perf_ctw.py, same run): 32768: 960 vs 910; 65536: 1006 vs
+    #: 961; 131072: 836 vs 826; 262144: 790 vs 782 GF/s.  The probe ladder
+    #: (tools/perf_anatomy.py) shows GEMM time is the visible increment in
+    #: the one-pass band while elementwise ops ride free — Gauss converts
+    #: MXU flops into free VPU adds.  Other values: "default", "ctw",
+    #: "wlhs_b" (measured 2.5x SLOWER — leading permutes cost more than
+    #: lane transposes on v5e).
+    radix_variant: str = "ctwg"
+
+    #: Two-stage fused-kernel variant.  "gauss" (default): 4096: 492 vs
+    #: 483; 8192: 603 vs 591; 16384: 940 vs 846; 65536: 825 vs 708 GF/s
+    #: (same-run x3s, tools/perf_ctw.py).  Other values: None/"default",
+    #: "twodot", "wlhs", "transpose_in_kernel", "transpose_outside".
+    two_stage_variant: Optional[str] = "gauss"
 
     #: Alias the input HBM pair to the outputs (input_output_aliases) in
     #: the one-pass kernels whose in/out views share a shape and block

@@ -213,6 +213,10 @@ def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[
         "two_stage": fused.make_fused_two_stage_fn,
     }[route]
     kwargs = {}
+    if route == "radix":
+        kwargs["variant"] = config.radix_variant
+    elif route == "two_stage":
+        kwargs["variant"] = config.two_stage_variant
     if config.pallas_in_place:
         # in-place is legal where the in/out views share a shape and block
         # index map: dense always, radix always (p == q == 128 by
@@ -266,6 +270,7 @@ def build(
         config.largepad_min_n, config.large2f_min_n, config.dense_max_n,
         config.dense_fallback_max_n, config.use_bconv_fused,
         config.large3f_min_n, config.dense_min_n, config.pallas_in_place,
+        config.radix_variant, config.two_stage_variant,
     )
     fn = _CACHE.get(key)
     if fn is None:

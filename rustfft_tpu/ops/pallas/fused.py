@@ -361,6 +361,22 @@ def contract_pair_cat_wlhs(w_pair_cat, xr, xi, cdim, precision):
     )
 
 
+def contract_pair_cat_rhs(w_pair_cat, xr, xi, cdim, precision):
+    """Complex-pair bf16 stage as ONE x-as-lhs MXU dot (sublane contraction).
+
+    The rhs twin of contract_pair_cat_wlhs: x_cat = [xr_hi;xr_hi;xr_lo;
+    xi_hi;xi_hi;xi_lo] along cdim, contracted against w_cat_pair's (out, 6K)
+    table.  Output appends the w out-axis as the LAST (lane) axis — the
+    proven layout of the two-stage kernels' stage-1 contraction, minus the
+    f32 [xr; xi] concat those kernels materialize.
+    """
+    x_cat = _cat_pair(xr, xi, cdim, CAT_TIERS[precision])
+    dims = (((cdim,), (1,)), ((), ()))
+    return jax.lax.dot_general(
+        x_cat, w_pair_cat, dims, preferred_element_type=jnp.float32
+    )
+
+
 def _fused_kernel(p, q, tb, precision, variant, xr_ref, xi_ref, wp_hi_ref,
                   wp_lo_ref, wq_hi_ref, wq_lo_ref, twr_ref, twi_ref,
                   or_ref, oi_ref):
@@ -416,6 +432,43 @@ def _fused_kernel(p, q, tb, precision, variant, xr_ref, xi_ref, wp_hi_ref,
         or_ref[:] = jnp.swapaxes(dr, -1, -2).reshape(tb * q, p)
         oi_ref[:] = jnp.swapaxes(di, -1, -2).reshape(tb * q, p)
     else:  # "transpose_outside": emit [k1, k2]; caller transposes in XLA
+        or_ref[:] = dr.reshape(tb * p, q)
+        oi_ref[:] = di.reshape(tb * p, q)
+
+
+def _fused_kernel_gauss(p, q, tb, precision, transpose_in, xr_ref, xi_ref,
+                        wp0, wp1, wp2, wp3, wp4, wp5, wq0, wq1, wq2, wq3,
+                        wq4, wq5, twr_ref, twi_ref, or_ref, oi_ref):
+    """Two-stage kernel with Gauss 3-multiplication complex GEMMs.
+
+    Same math as _fused_kernel; each stage runs 3 real dots of K = p
+    (P1 = xr@Wr, P2 = xi@Wi, P3 = (xr+xi)@(Wr+Wi)) instead of one block
+    dot of K = 2p — 25% less MXU work, and the probe ladder shows GEMM
+    time is the visible increment while elementwise ops ride free
+    (tools/perf_anatomy.py).
+    """
+    dims = (((1,), (1,)), ((), ()))
+    xr = xr_ref[:].reshape(tb, p, q)
+    xi = xi_ref[:].reshape(tb, p, q)
+
+    # stage 1: DFT_p over the sublane j1 axis
+    ar, ai = gauss_contract(
+        xr, xi, (wp0, wp1, wp2, wp3, wp4, wp5), dims, precision
+    )  # (tb, q, p) [j2, k1]
+
+    twr = twr_ref[:]
+    twi = twi_ref[:]
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+
+    # stage 2: DFT_q over the j2 axis (sublane)
+    dr, di = gauss_contract(
+        br, bi, (wq0, wq1, wq2, wq3, wq4, wq5), dims, precision
+    )  # (tb, p, q) [k1, k2]
+    if transpose_in:
+        or_ref[:] = jnp.swapaxes(dr, -1, -2).reshape(tb * q, p)
+        oi_ref[:] = jnp.swapaxes(di, -1, -2).reshape(tb * q, p)
+    else:
         or_ref[:] = dr.reshape(tb * p, q)
         oi_ref[:] = di.reshape(tb * p, q)
 
@@ -509,11 +562,22 @@ def make_fused_two_stage_fn(
     twr = np.ascontiguousarray(tw.real).astype(rdt)
     twi = np.ascontiguousarray(tw.imag).astype(rdt)
 
-    # "twodot"/"wlhs"/"transpose_in_kernel" emit natural-order (tb*q, p)
-    # (twodot only when p fills the VPU lanes, mirroring the default rule)
+    # "twodot"/"gauss"/"wlhs"/"transpose_in_kernel" emit natural-order
+    # (tb*q, p) (twodot/gauss only when p fills the VPU lanes, mirroring
+    # the default rule)
     twodot = variant == "twodot"
-    transpose_in_kernel = twodot and p >= 128 or variant == "transpose_in_kernel" or variant == "wlhs"
-    if twodot:
+    gauss = variant == "gauss"
+    transpose_in_kernel = (
+        (twodot or gauss) and p >= 128
+        or variant == "transpose_in_kernel"
+        or variant == "wlhs"
+    )
+    if gauss:
+        # Gauss 3-dot tables: plain (not block) DFT matrices per stage
+        consts = gauss_tables(twiddles.dft_matrix(p, direction), precision)
+        consts += gauss_tables(twiddles.dft_matrix(q, direction), precision)
+        consts.extend((twr, twi))
+    elif twodot:
         # half-K blocks: stage contraction = dot(xr, wA) + dot(xi, wB)
         consts = []
         for w in (wp[:, :p], wp[:, p:], wq[:, :q], wq[:, q:]):
@@ -525,7 +589,11 @@ def make_fused_two_stage_fn(
     def call(xr, xi, tb):
         batch = xr.shape[0]
         grid = batch // tb
-        if twodot:
+        if gauss:
+            kernel = functools.partial(
+                _fused_kernel_gauss, p, q, tb, precision, transpose_in_kernel
+            )
+        elif twodot:
             kernel = functools.partial(
                 _fused_kernel_twodot, p, q, tb, precision, transpose_in_kernel
             )
@@ -916,6 +984,226 @@ def _fused_kernel_vpur(r, p, q, tb, precision, direction, variant, xr_ref,
     oi_ref[:] = jnp.concatenate(outs_i, axis=-1).reshape(tb * q, m1)
 
 
+def _fused_kernel_ctw(r, p, q, tb, precision, direction, *refs):
+    """Traffic-lean radix-r tile: (tb*p, r*q) -> (tb*q, r*p) natural order.
+
+    Same math as _fused_kernel_vpur, restructured to minimize materialized
+    VMEM arrays (the measured binding resource of the one-pass band —
+    CLAUDE.md anatomy: ~2.9ms of in-VMEM compute spread across ~30 ops):
+
+      - ONE merged twiddle cmul.  With j = b*rq + a*q + j2 and
+        k = k2*rp + c*p + d, the exponent splits as
+        w_n^{jk} = w_p^{bd} * w_n^{(a*q+j2)*d} * w_r^{ac} * w_rq^{c*j2}
+        * w_q^{k2*j2}.  The (a*q+j2)*d factor is ONE n-sized table
+        (= twiddle_table(rq, p): exact-integer exponents), replacing the
+        old t1 (r,p) AND the d-part of the old n-sized t2.
+      - The c-part of t2 (w_rq^{c*j2}) folds into r PER-C stage-B weight
+        tables Wc[k2,j2] = w_q^{k2*j2} * w_rq^{c*j2} — zero elementwise
+        cost, same total MXU flops (r dots of 1/r the rows each).
+      - The VPU radix-r chain becomes a PURE DFT_r (scalar twiddles only)
+        whose per-c output slices feed the per-c dots directly — the
+        (tb, r, q, p) stack the old kernel materialized disappears.
+      - Both contractions use pair-cat tables (w_cat_pair): the f32
+        [re; im] concats disappear into the bf16 cat concat.
+      - Stage B keeps the proven x-as-lhs sublane contraction and the
+        default emit (per-c lane transposes + lane concat): the wlhs
+        alternative (k2 leading, permute-only emit) measured 2.5x SLOWER
+        on v5e (395 vs 977 GF/s at 65536 — leading permutes of
+        (2q, tb, p) cost far more than lane transposes; /tmp/ctw_65536).
+
+    Reference counterpart: radix4.rs:146-164's layered cross-FFT stages;
+    the twiddle-folding plays the role of avx_mixed_radix.rs's fused
+    twiddle-multiply butterflies (apply_butterfly! with twiddles baked
+    into the butterfly constants).
+    """
+    (xr_ref, xi_ref), consts, (or_ref, oi_ref) = refs[:2], refs[2:-2], refs[-2:]
+    wpA_hi, wpA_lo, wpB_hi, wpB_lo = consts[0:4]
+    wc_refs = consts[4 : 4 + 4 * r]
+    tr_ref, ti_ref = consts[4 + 4 * r :]
+    dims = (((1,), (1,)), ((), ()))
+
+    xr = xr_ref[:].reshape(tb, p, r * q)
+    xi = xi_ref[:].reshape(tb, p, r * q)
+
+    # stage A: DFT_p over the sublane b axis (MXU)
+    if precision in CAT_TIERS:
+        a = contract_pair_cat_rhs(wpA_hi[:], xr, xi, 1, precision)
+    else:
+        a = contract_pair(
+            xr, xi,
+            (wpA_hi[:], wpA_lo[:]), (wpB_hi[:], wpB_lo[:]),
+            dims, precision,
+        )  # (tb, r*q, 2p) [b, (a,j2), d]
+    ar, ai = a[..., :p], a[..., p:]
+
+    # the ONE merged twiddle: T[(a,j2), d] = w_n^{(a*q+j2)*d}
+    tr, ti = tr_ref[:], ti_ref[:]
+    br = ar * tr - ai * ti
+    bi = ar * ti + ai * tr  # (tb, r*q, p)
+
+    # pure DFT_r over a (VPU chain, scalar twiddles), sublane slices
+    cr_l, ci_l = _vpu_fft_list(
+        [br[:, j * q : (j + 1) * q, :] for j in range(r)],
+        [bi[:, j * q : (j + 1) * q, :] for j in range(r)],
+        direction,
+    )
+
+    # per-c stage B: contract j2 against the c-twiddled DFT_q table
+    outs_r, outs_i = [], []
+    for c in range(r):
+        wcA_hi, wcA_lo, wcB_hi, wcB_lo = wc_refs[4 * c : 4 * c + 4]
+        if precision in CAT_TIERS:
+            e = contract_pair_cat_rhs(
+                wcA_hi[:], cr_l[c], ci_l[c], 1, precision
+            )
+        else:
+            e = contract_pair(
+                cr_l[c], ci_l[c],
+                (wcA_hi[:], wcA_lo[:]), (wcB_hi[:], wcB_lo[:]),
+                dims, precision,
+            )  # (tb, p, 2q) [b, d, k2]
+        outs_r.append(jnp.swapaxes(e[..., :q], -1, -2))  # (tb, q, p)
+        outs_i.append(jnp.swapaxes(e[..., q:], -1, -2))
+
+    # natural order k = k2*rp + c*p + d: lane concat over c
+    or_ref[:] = jnp.concatenate(outs_r, axis=-1).reshape(tb * q, r * p)
+    oi_ref[:] = jnp.concatenate(outs_i, axis=-1).reshape(tb * q, r * p)
+
+
+def _fused_kernel_ctwg(r, p, q, tb, precision, direction, *refs):
+    """ctw kernel with Gauss 3-multiplication complex GEMMs.
+
+    Each complex contraction runs as THREE real dots of K = p (Gauss/
+    Karatsuba: P1 = xr@Wr, P2 = xi@Wi, P3 = (xr+xi)@(Wr+Wi); re = P1-P2,
+    im = P3-P1-P2) instead of one block dot of K = 2p — a 25% MXU-flop
+    cut.  The extra VPU adds ride free: the probe ladder measured
+    elementwise ops at +0.03ms on a 5ms kernel while each GEMM stage adds
+    its full MXU time (tools/perf_anatomy.py, /tmp/ctw2_65536.log).  The
+    same trick is the dense tier's measured-default "gauss" variant above
+    npad=256 (ops/pallas/dense.py).
+    """
+    (xr_ref, xi_ref), consts, (or_ref, oi_ref) = refs[:2], refs[2:-2], refs[-2:]
+    wA = consts[0:6]
+    wc_refs = consts[6 : 6 + 6 * r]
+    tr_ref, ti_ref = consts[6 + 6 * r :]
+    dims = (((1,), (1,)), ((), ()))
+
+    def gauss(xr, xi, w6):
+        return gauss_contract(xr, xi, w6, dims, precision)
+
+    xr = xr_ref[:].reshape(tb, p, r * q)
+    xi = xi_ref[:].reshape(tb, p, r * q)
+
+    # stage A: DFT_p over the sublane b axis (3 Gauss dots, K = p each)
+    ar, ai = gauss(xr, xi, wA)  # (tb, r*q, p) [b, (a,j2), d]
+
+    # the ONE merged twiddle: T[(a,j2), d] = w_n^{(a*q+j2)*d}
+    tr, ti = tr_ref[:], ti_ref[:]
+    br = ar * tr - ai * ti
+    bi = ar * ti + ai * tr
+
+    # pure DFT_r over a (VPU chain, scalar twiddles)
+    cr_l, ci_l = _vpu_fft_list(
+        [br[:, j * q : (j + 1) * q, :] for j in range(r)],
+        [bi[:, j * q : (j + 1) * q, :] for j in range(r)],
+        direction,
+    )
+
+    # per-c stage B: c-twiddled DFT_q via Gauss dots
+    outs_r, outs_i = [], []
+    for c in range(r):
+        er, ei = gauss(cr_l[c], ci_l[c], wc_refs[6 * c : 6 * c + 6])
+        outs_r.append(jnp.swapaxes(er, -1, -2))  # (tb, q, p)
+        outs_i.append(jnp.swapaxes(ei, -1, -2))
+
+    or_ref[:] = jnp.concatenate(outs_r, axis=-1).reshape(tb * q, r * p)
+    oi_ref[:] = jnp.concatenate(outs_i, axis=-1).reshape(tb * q, r * p)
+
+
+def gauss_contract(xr, xi, w6, dims, precision):
+    """Complex contraction via Gauss's 3 real dots (25% less MXU work).
+
+    w6: six refs/arrays (Wr_hi, Wr_lo, Wi_hi, Wi_lo, Ws_hi, Ws_lo) from
+    gauss_tables().  P1 = xr@Wr, P2 = xi@Wi, P3 = (xr+xi)@(Wr+Wi);
+    re = P1-P2, im = P3-P1-P2 (exact term identity; f32 accumulation).
+    """
+    wr_hi, wr_lo, wi_hi, wi_lo, ws_hi, ws_lo = w6
+    p1 = contract_rhs(xr, wr_hi[:], wr_lo[:], dims, precision)
+    p2 = contract_rhs(xi, wi_hi[:], wi_lo[:], dims, precision)
+    p3 = contract_rhs(xr + xi, ws_hi[:], ws_lo[:], dims, precision)
+    return p1 - p2, p3 - p1 - p2
+
+
+def gauss_tables(w: np.ndarray, precision, rdt=np.float32):
+    """6-slot (Wr_hi, Wr_lo, Wi_hi, Wi_lo, Ws_hi, Ws_lo) Gauss group.
+
+    w: complex (out, K) matrix contracted along axis 1.  Ws = Wr + Wi.
+    Each real table ships through w_split (cat table or bf16 pair).
+    """
+    out = []
+    for m in (w.real, w.imag, w.real + w.imag):
+        hi, lo = w_split(np.ascontiguousarray(m).astype(rdt), precision)
+        out.extend((hi, lo))
+    return out
+
+
+def _ctw_cfacs(r, q, direction):
+    """Per-c Bluestein-exact c-twiddle rows w_rq^{c*j2} (complex, (r, q))."""
+    rq = r * q
+    j2 = np.arange(q, dtype=np.int64)
+    rows = []
+    for c in range(r):
+        exps = (c * j2) % rq
+        cfac = np.exp(-2j * np.pi * exps.astype(np.float64) / rq)
+        if direction is FftDirection.INVERSE:
+            cfac = np.conj(cfac)
+        rows.append(cfac)
+    return rows
+
+
+def _ctwg_consts(r, p, q, direction, precision, rdt=np.float32):
+    """Host tables for the ctwg (Gauss) kernel, in consts order."""
+    consts = gauss_tables(twiddles.dft_matrix(p, direction), precision, rdt)
+    wq = twiddles.dft_matrix(q, direction)
+    for cfac in _ctw_cfacs(r, q, direction):
+        consts.extend(gauss_tables(wq * cfac[None, :], precision, rdt))
+    t = twiddles.twiddle_table(r * q, p, direction)
+    consts.append(np.ascontiguousarray(t.real).astype(rdt))
+    consts.append(np.ascontiguousarray(t.imag).astype(rdt))
+    return consts
+
+
+def _ctw_consts(r, p, q, direction, precision, rdt=np.float32):
+    """Host tables for the ctw kernel, in the kernel's consts order."""
+    rq = r * q
+
+    def pair_tables(w_block, half):
+        """4-slot (A_hi, A_lo, B_hi, B_lo) group for one block matrix."""
+        wA = np.ascontiguousarray(w_block[:, :half])
+        wB = np.ascontiguousarray(w_block[:, half:])
+        if precision in CAT_TIERS:
+            dummy = np.zeros((8, 128), np.float32)
+            return [w_cat_pair(wA, wB, precision), dummy, dummy, dummy]
+        out = []
+        for w in (wA, wB):
+            hi, lo = w_split(w, precision)
+            out.extend((hi, lo))
+        # w_split interleaves (A_hi, A_lo, B_hi, B_lo) — matches kernel
+        return out
+
+    wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)  # (2p, 2p)
+    consts = pair_tables(wp, p)
+    # per-c tables Wc[k2, j2] = w_q^{k2*j2} * w_rq^{c*j2} (exact int mod)
+    wq = twiddles.dft_matrix(q, direction)
+    for cfac in _ctw_cfacs(r, q, direction):
+        wc = calg.block_mid(wq * cfac[None, :], rdt)  # (2q, 2q)
+        consts.extend(pair_tables(wc, q))
+    t = twiddles.twiddle_table(rq, p, direction)  # (rq, p): w_n^{(aq+j2)*d}
+    consts.append(np.ascontiguousarray(t.real).astype(rdt))
+    consts.append(np.ascontiguousarray(t.imag).astype(rdt))
+    return consts
+
+
 def make_fused_radix_fn(
     n: int,
     direction: FftDirection,
@@ -953,23 +1241,28 @@ def make_fused_radix_fn(
     rdt = np.float32
     precision = resolve_precision(precision, interpret)
 
-    wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)
-    wq = calg.block_mid(twiddles.dft_matrix(q, direction), rdt)
-    wp_hi, wp_lo = w_split(wp, precision)
-    wq_hi, wq_lo = w_split(wq, precision)
-    # t1[a, d] = w_{rp}^{a*d}; t2[c, j2, d] = w_n^{(c*p + d) * j2}.  t2 ships
-    # 2D as (r*q, p) so the in-kernel reshape splits the sublane axis only
-    # (lane-dim splits are illegal in VMEM).
-    t1 = twiddles.twiddle_table(r, p, direction)  # (r, p) [a, d]
-    t2 = twiddles.twiddle_table(m1, q, direction)  # (m1, q) [c*p + d, j2]
-    t2 = np.swapaxes(t2.reshape(r, p, q), 1, 2).reshape(r * q, p)
-    consts = [
-        wp_hi, wp_lo, wq_hi, wq_lo,
-        np.ascontiguousarray(t1.real).astype(rdt),
-        np.ascontiguousarray(t1.imag).astype(rdt),
-        np.ascontiguousarray(t2.real).astype(rdt),
-        np.ascontiguousarray(t2.imag).astype(rdt),
-    ]
+    if variant == "ctwg":
+        consts = _ctwg_consts(r, p, q, direction, precision, rdt)
+    elif variant == "ctw":
+        consts = _ctw_consts(r, p, q, direction, precision, rdt)
+    else:
+        wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)
+        wq = calg.block_mid(twiddles.dft_matrix(q, direction), rdt)
+        wp_hi, wp_lo = w_split(wp, precision)
+        wq_hi, wq_lo = w_split(wq, precision)
+        # t1[a, d] = w_{rp}^{a*d}; t2[c, j2, d] = w_n^{(c*p + d) * j2}.  t2
+        # ships 2D as (r*q, p) so the in-kernel reshape splits the sublane
+        # axis only (lane-dim splits are illegal in VMEM).
+        t1 = twiddles.twiddle_table(r, p, direction)  # (r, p) [a, d]
+        t2 = twiddles.twiddle_table(m1, q, direction)  # (m1, q) [c*p+d, j2]
+        t2 = np.swapaxes(t2.reshape(r, p, q), 1, 2).reshape(r * q, p)
+        consts = [
+            wp_hi, wp_lo, wq_hi, wq_lo,
+            np.ascontiguousarray(t1.real).astype(rdt),
+            np.ascontiguousarray(t1.imag).astype(rdt),
+            np.ascontiguousarray(t2.real).astype(rdt),
+            np.ascontiguousarray(t2.imag).astype(rdt),
+        ]
 
     def _tb(batch):
         if batch_tile:
@@ -985,9 +1278,18 @@ def make_fused_radix_fn(
     def call(xr, xi, tb):
         batch = xr.shape[0]
         grid = batch // tb
-        kernel = functools.partial(
-            _fused_kernel_vpur, r, p, q, tb, precision, direction, variant
-        )
+        if variant == "ctwg":
+            kernel = functools.partial(
+                _fused_kernel_ctwg, r, p, q, tb, precision, direction
+            )
+        elif variant == "ctw":
+            kernel = functools.partial(
+                _fused_kernel_ctw, r, p, q, tb, precision, direction
+            )
+        else:
+            kernel = functools.partial(
+                _fused_kernel_vpur, r, p, q, tb, precision, direction, variant
+            )
         in_bspec = pl.BlockSpec((tb * p, r * q), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
         out_bspec = pl.BlockSpec((tb * q, m1), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
 

@@ -403,6 +403,50 @@ def test_fused_radix_matches_oracle(n, direction):
     assert err < 1e-2, (n, direction, err)
 
 
+@pytest.mark.parametrize(
+    "direction", [FftDirection.FORWARD, FftDirection.INVERSE]
+)
+@pytest.mark.parametrize("variant", ["ctw", "ctwg"])
+@pytest.mark.parametrize("precision", ["bf16x3s", "bf16x2s", None])
+def test_fused_radix_ctw_matches_oracle(direction, variant, precision):
+    """Traffic-lean ctw/ctwg radix variants: merged twiddle table + per-c
+    twiddle-folded stage-B weights (fused._fused_kernel_ctw[g]); ctwg adds
+    Gauss 3-multiplication complex GEMMs (the shipped default,
+    config.radix_variant).  Cat tiers survive interpret mode faithfully
+    (resolve_precision)."""
+    n = 65536
+    fn = fused.make_fused_radix_fn(
+        n, direction, np.complex64, interpret=True, batch_tile=1,
+        variant=variant, precision=precision,
+    )
+    sig = random_signal(2 * n, dtype=np.complex64, seed=12).reshape(2, n)
+    o_r, o_i = fn((sig.real, sig.imag))
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    ref = oracle_dft(sig, direction)
+    rel = mean_element_error(out, ref) / np.abs(ref).mean()
+    bar = 5e-3 if precision == "bf16x2s" else 2e-5
+    assert rel < bar, (direction, variant, precision, rel)
+
+
+@pytest.mark.parametrize(
+    "direction", [FftDirection.FORWARD, FftDirection.INVERSE]
+)
+@pytest.mark.parametrize("n", [4096, 16384])
+def test_fused_two_stage_gauss_matches_oracle(n, direction):
+    """Gauss-variant two-stage kernel (the shipped default,
+    config.two_stage_variant): 3 real dots per complex stage."""
+    fn = fused.make_fused_two_stage_fn(
+        n, direction, np.complex64, interpret=True, batch_tile=1,
+        variant="gauss", precision="bf16x3s",
+    )
+    sig = random_signal(2 * n, dtype=np.complex64, seed=13).reshape(2, n)
+    o_r, o_i = fn((sig.real, sig.imag))
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    ref = oracle_dft(sig, direction)
+    rel = mean_element_error(out, ref) / np.abs(ref).mean()
+    assert rel < 2e-5, (n, direction, rel)
+
+
 def test_fused_radix_supported_rules():
     assert fused.choose_rpq(32768) == (2, 128, 128)
     assert fused.choose_rpq(65536) == (4, 128, 128)

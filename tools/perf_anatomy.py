@@ -201,6 +201,9 @@ def main():
                 ("radix bf16x3s", "bf16x3s", "default"),
                 ("radix wlhsB x3", "bf16x3", "wlhs_b"),
                 ("radix wlhsB x3s", "bf16x3s", "wlhs_b"),
+                ("radix ctw x3s", "bf16x3s", "ctw"),
+                ("radix ctwg x3s", "bf16x3s", "ctwg"),
+                ("radix ctwg x3", "bf16x3", "ctwg"),
             ):
                 try:
                     fn = fused.make_fused_radix_fn(n, d, np.complex64,
