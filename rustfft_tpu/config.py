@@ -194,6 +194,10 @@ class FftConfig:
     #: "twodot", "wlhs", "transpose_in_kernel", "transpose_outside".
     two_stage_variant: Optional[str] = "gauss"
 
+    #: Gauss 3-multiplication dots in the large two-kernel pipeline
+    #: (kernel A's dense DFT_P + kernel B's two sublane stages).
+    large_gauss: bool = False
+
     #: Alias the input HBM pair to the outputs (input_output_aliases) in
     #: the one-pass kernels whose in/out views share a shape and block
     #: index map (radix, square two-stage, dense).  In-place halves the

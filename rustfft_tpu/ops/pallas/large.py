@@ -51,7 +51,8 @@ from ...config import config
 from ... import twiddles
 from .. import calg
 from .fused import (contract_rhs as _contract, contract_wlhs,
-                    resolve_precision, w_split)
+                    gauss_contract, gauss_tables, resolve_precision,
+                    w_split)
 
 from .util import i32map
 
@@ -70,6 +71,69 @@ def _kernel_a(p, qt, precision, xr_ref, xi_ref, wp_hi_ref, wp_lo_ref,
     twi = twi_ref[:]
     or_ref[:] = ar * twr - ai * twi
     oi_ref[:] = ar * twi + ai * twr
+
+
+def _kernel_a_gauss(p, qt, precision, xr_ref, xi_ref, w0, w1, w2, w3, w4,
+                    w5, twr_ref, twi_ref, or_ref, oi_ref):
+    """Column stage via Gauss 3-multiplication dots (25% less MXU work).
+
+    DFT_P is kernel A's whale (24*P bf16-flops/pt dense), and the probe
+    ladder shows GEMM time is the band's visible increment while
+    elementwise ops ride free (tools/perf_anatomy.py) — same trade as the
+    fused kernels' ctwg/gauss variants.
+    """
+    dims = (((1,), (1,)), ((), ()))
+    ar, ai = gauss_contract(
+        xr_ref[:], xi_ref[:], (w0, w1, w2, w3, w4, w5), dims, precision
+    )  # (1, qt, P) each [j2, k1]
+    twr = twr_ref[:]
+    twi = twi_ref[:]
+    or_ref[:] = ar * twr - ai * twi
+    oi_ref[:] = ar * twi + ai * twr
+
+
+def fftq_sublane_gauss(xr, xi, q1, q2, pt, precision, w6_1, w6_2, twr, twi):
+    """fftq_sublane's Gauss twin: each stage as 3 real dots of K = q_i.
+
+    Same swap-form dataflow (rhs sublane contraction + moveaxis); w6_i are
+    the six gauss_tables() arrays per stage.
+    """
+    dims = (((1,), (1,)), ((), ()))
+    s_r = jnp.swapaxes(xr.reshape(q1, q2, pt), 0, 1)  # (q2, q1, pt)
+    s_i = jnp.swapaxes(xi.reshape(q1, q2, pt), 0, 1)
+
+    # stage 1: DFT_q1 over ja
+    ar, ai = gauss_contract(s_r, s_i, w6_1, dims, precision)  # (q2, pt, q1)
+    ar = jnp.moveaxis(ar, -1, 0)  # (q1, q2, pt) [ka, jb, k1]
+    ai = jnp.moveaxis(ai, -1, 0)
+
+    twr = twr.reshape(q1, q2, 1)
+    twi = twi.reshape(q1, q2, 1)
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+
+    # stage 2: DFT_q2 over jb
+    dr, di = gauss_contract(br, bi, w6_2, dims, precision)  # (q1, pt, q2)
+    dr = jnp.moveaxis(dr, -1, 0)  # (q2, q1, pt) [kb, ka, k1]
+    di = jnp.moveaxis(di, -1, 0)
+    return dr.reshape(q1 * q2, pt), di.reshape(q1 * q2, pt)
+
+
+def _kernel_b_gauss(q1, q2, pt, precision, xr_ref, xi_ref, *refs):
+    """Row stage, Gauss form: 12 weight refs (6 per stage) + twiddles."""
+    q = q1 * q2
+    w6_1 = refs[0:6]
+    w6_2 = refs[6:12]
+    twr_ref, twi_ref = refs[12:14]
+    or_ref, oi_ref = refs[14:]
+    dr, di = fftq_sublane_gauss(
+        xr_ref[:].reshape(q, pt), xi_ref[:].reshape(q, pt), q1, q2, pt,
+        precision,
+        tuple(w[:] for w in w6_1), tuple(w[:] for w in w6_2),
+        twr_ref[:], twi_ref[:],
+    )
+    or_ref[:] = dr[None]
+    oi_ref[:] = di[None]
 
 
 def _kernel_a_deep(p, qt, radices, precision, xr_ref, xi_ref, *refs):
@@ -282,6 +346,7 @@ def make_large_fft_fn(
     pt: int = 128,
     variant: str = "swap",
     deep_a: Optional[bool] = None,
+    gauss: Optional[bool] = None,
 ) -> Callable:
     """Return fn: Cplx (..., n) -> Cplx (..., n), the two-kernel pipeline.
 
@@ -356,13 +421,26 @@ def make_large_fft_fn(
     w1_hi, w1_lo = w_split(w1, precision)
     w2_hi, w2_lo = w_split(w2, precision)
 
+    if gauss is None:
+        gauss = config.large_gauss
+
     if deep_a:
         kernel_a = functools.partial(_kernel_a_deep, p, qt, a_radices, precision)
         a_consts = lanepack._stage_consts(p, a_radices, direction, precision)
+    elif gauss:
+        kernel_a = functools.partial(_kernel_a_gauss, p, qt, precision)
+        a_consts = gauss_tables(twiddles.dft_matrix(p, direction), precision)
     else:
         kernel_a = functools.partial(_kernel_a, p, qt, precision)
         a_consts = [wp_hi, wp_lo]
-    kernel_b = functools.partial(_kernel_b, q1, q2, pt, precision, variant)
+    if gauss:
+        kernel_b = functools.partial(_kernel_b_gauss, q1, q2, pt, precision)
+        b_consts = gauss_tables(
+            twiddles.dft_matrix(q1, direction), precision
+        ) + gauss_tables(twiddles.dft_matrix(q2, direction), precision)
+    else:
+        kernel_b = functools.partial(_kernel_b, q1, q2, pt, precision, variant)
+        b_consts = [w1_hi, w1_lo, w2_hi, w2_lo]
     cparams = pltpu.CompilerParams(vmem_limit_bytes=config.pallas_vmem_limit)
     # the deep kernel A is temp-heavy (sublane stages + transpose)
     cparams_a = pltpu.CompilerParams(
@@ -417,13 +495,9 @@ def make_large_fft_fn(
             in_specs=[
                 pl.BlockSpec((1, q, pt), i32map(lambda pi, b: (b, 0, pi)), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, q, pt), i32map(lambda pi, b: (b, 0, pi)), memory_space=pltpu.VMEM),
-                const_spec(w1_hi),
-                const_spec(w1_lo),
-                const_spec(w2_hi),
-                const_spec(w2_lo),
-                const_spec(twr_i),
-                const_spec(twi_i),
-            ],
+            ]
+            + [const_spec(w) for w in b_consts]
+            + [const_spec(twr_i), const_spec(twi_i)],
             out_specs=[
                 pl.BlockSpec((1, q, pt), i32map(lambda pi, b: (b, 0, pi)), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, q, pt), i32map(lambda pi, b: (b, 0, pi)), memory_space=pltpu.VMEM),
@@ -437,10 +511,7 @@ def make_large_fft_fn(
         )(
             a_r,
             a_i,
-            jnp.asarray(w1_hi),
-            jnp.asarray(w1_lo),
-            jnp.asarray(w2_hi),
-            jnp.asarray(w2_lo),
+            *[jnp.asarray(w) for w in b_consts],
             jnp.asarray(twr_i),
             jnp.asarray(twi_i),
         )
