@@ -97,14 +97,20 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
     if has_sum:
         osr_ref, osi_ref = sum_refs
         in_rows = (r * p) if has_inperm else p_in
+        # staged reduction: sum the middle (row-grid) axis to a (tb, lanes)
+        # tile, then the lane axis.  The one-shot axis=(1, 2) reduce
+        # SIGABRTs the Mosaic compile helper on v5e (isolated to the
+        # multi-axis reduce itself in a minimal probe, 2026-08-18).
         sr_sum = jnp.sum(
-            xr_ref[:].reshape(tb, in_rows, -1), axis=(1, 2)
+            jnp.sum(xr_ref[:].reshape(tb, in_rows, -1), axis=1),
+            axis=1, keepdims=True,
         )
         si_sum = jnp.sum(
-            xi_ref[:].reshape(tb, in_rows, -1), axis=(1, 2)
+            jnp.sum(xi_ref[:].reshape(tb, in_rows, -1), axis=1),
+            axis=1, keepdims=True,
         )
-        osr_ref[:] = jnp.broadcast_to(sr_sum[:, None], (tb, 128))
-        osi_ref[:] = jnp.broadcast_to(si_sum[:, None], (tb, 128))
+        osr_ref[:] = jnp.broadcast_to(sr_sum, (tb, 128))
+        osi_ref[:] = jnp.broadcast_to(si_sum, (tb, 128))
     if has_inperm:
         w_rows = r * p  # m // q, q == 128
         iz1, iy1, iy2, iz2 = i1_ref[:], i2_ref[:], i4_ref[:], i5_ref[:]

@@ -81,6 +81,23 @@ def test_large_pipeline_matches_oracle():
             assert err < 1e-2, (direction, variant, err)
 
 
+def test_large_pipeline_gauss_matches_oracle():
+    """Gauss 3-multiplication form of both large-pipeline kernels
+    (_kernel_a_gauss / _kernel_b_gauss), interpret mode."""
+    from rustfft_tpu.ops.pallas import large
+
+    n = 32768
+    for direction in (FftDirection.FORWARD, FftDirection.INVERSE):
+        fn = large.make_large_fft_fn(
+            n, direction, np.complex64, interpret=True, gauss=True
+        )
+        sig = random_signal(2 * n, dtype=np.complex64, seed=11).reshape(2, n)
+        o_r, o_i = fn((sig.real, sig.imag))
+        out = np.asarray(o_r) + 1j * np.asarray(o_i)
+        err = mean_element_error(out, oracle_dft(sig, direction))
+        assert err < 1e-2, (direction, err)
+
+
 @pytest.mark.parametrize("n,m", [(100, 256), (1234, 3072)])
 @pytest.mark.parametrize(
     "direction", [FftDirection.FORWARD, FftDirection.INVERSE]
