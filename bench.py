@@ -335,7 +335,18 @@ def main():
         # 1.5x the measured stream rate (margin for stream-probe noise)
         floor_s = 16.0 * batch * n / (stream_gbps * 1.5e9)
         try:
-            t_per, gflops, was_floored = bench_config(n, batch, floor_s=floor_s)
+            try:
+                t_per, gflops, was_floored = bench_config(
+                    n, batch, floor_s=floor_s
+                )
+            except Exception as e:  # noqa: BLE001 — the remote compile
+                # helper occasionally dies transiently (SIGABRT/HTTP 500
+                # observed 2026-08-18); one retry before dropping the row
+                print(f"# n={n:>8}: retrying after ({str(e)[:120]})",
+                      file=sys.stderr)
+                t_per, gflops, was_floored = bench_config(
+                    n, batch, floor_s=floor_s
+                )
             if was_floored:
                 floored.append(n)
         except Exception as e:  # noqa: BLE001 — one broken tier must not

@@ -81,6 +81,15 @@ def _kernel_a_gauss(p, qt, precision, xr_ref, xi_ref, w0, w1, w2, w3, w4,
     ladder shows GEMM time is the band's visible increment while
     elementwise ops ride free (tools/perf_anatomy.py) — same trade as the
     fused kernels' ctwg/gauss variants.
+
+    MEASURED NEGATIVE on v5e (tools/perf_lgauss.py, same run, 2026-08-18):
+    gauss loses at every large-tier size — 2^19: 669 vs 749 GF/s, 2^20:
+    814 vs 873, 2^21: remote compile FAIL (exit 1) vs block 829 — and
+    carries worse error (9.1e-6 vs 6.0e-6 rel: the P3-P1-P2 recombine
+    cancels).  Unlike the one-pass band, this pipeline's kernels overlap
+    their GEMMs with streaming DMA; cutting MXU flops buys nothing while
+    the extra (xr+xi) temps and recombines add VPU serial time.  Default
+    stays config.large_gauss=False; kernels kept for the record.
     """
     dims = (((1,), (1,)), ((), ()))
     ar, ai = gauss_contract(
