@@ -158,6 +158,14 @@ class FftConfig:
     #: cancels the transposes; kept as a documented negative).
     rader_gather: str = "kernel"
 
+    #: Benes X-phase combine (ops/pallas/permute.py): "fma" = X multiplies
+    #: + X-1 adds of 0/1-masked tiles; "tree" = binary tournament of X-1
+    #: vector selects (mask comparisons/or-combines loop-invariant).
+    #: MEASURED WASH at 65537 on v5e (fma 299.0 vs tree 297.1 GF/s,
+    #: identical error, 2026-08-19): the X-phase is not the binding cost
+    #: of the Benes perms — the gathers/transposes and DMA overlap are.
+    permute_select: str = "fma"
+
     #: MXU precision inside Pallas kernels.  "bf16x3" = manual 3-pass bf16
     #: emulation (f32-grade accuracy at half the passes of HIGHEST, which
     #: Mosaic would otherwise use; Mosaic rejects Precision.HIGH).

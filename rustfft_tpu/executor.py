@@ -270,7 +270,8 @@ def build(
         config.largepad_min_n, config.large2f_min_n, config.dense_max_n,
         config.dense_fallback_max_n, config.use_bconv_fused,
         config.large3f_min_n, config.dense_min_n, config.pallas_in_place,
-        config.radix_variant, config.two_stage_variant,
+        config.radix_variant, config.two_stage_variant, config.large_gauss,
+        config.permute_select,
     )
     fn = _CACHE.get(key)
     if fn is None:
