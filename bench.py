@@ -181,20 +181,25 @@ def mxu_flops_per_point(n: int):
         "bf16x3": 3, "bf16x3s": 3, "bf16x2": 2, "bf16x2s": 2, "bf16": 1
     }.get(config.pallas_precision, 6)
     route = executor.pallas_route(n, np.complex64, mode="tpu")
+    # complex-GEMM flop factor per unit K: 8 for the block form
+    # ([xr xi] @ 2Kx2K block), 6 for the Gauss 3-multiplication form
+    # (3 real dots of K each) — the default at the routes below
     if route == "dense":
-        # gauss 3-multiply: 3 GEMMs of (bt, npad) @ (npad, npad) = 6*npad
-        # flops/point (the lane pad is real MXU work)
         from rustfft_tpu.ops.pallas import dense
 
-        return 6 * dense._n_pad(n) * passes
+        npad = dense._n_pad(n)
+        fac = 8 if npad <= 256 else 6  # dense's measured variant rule
+        return fac * npad * passes
     if route == "lanepack":
         return 8 * sum(lanepack.choose_radices(n)) * passes
     if route == "two_stage":
         p, q = fused._choose_pq(n)
-        return 8 * (p + q) * passes
+        fac = 6 if config.two_stage_variant == "gauss" else 8
+        return fac * (p + q) * passes
     if route == "radix":
         r, p, q = fused.choose_rpq(n)
-        return 8 * (p + q) * passes
+        fac = 6 if config.radix_variant == "ctwg" else 8
+        return fac * (p + q) * passes
     if route == "large":
         p, q1, q2 = large.choose_pqq(n)
         return 8 * (p + q1 + q2) * passes
