@@ -71,7 +71,8 @@ def diff_time(many, x, floor_s: float = 0.0, rounds: int = 3,
     return max(t_per, 1e-9), False
 
 
-def bench_config(n: int, batch: int, floor_s: float = 0.0):
+def bench_config(n: int, batch: int, floor_s: float = 0.0,
+                 inverse: bool = False):
     """floor_s: physical lower bound on the per-FFT time (one HBM read +
     one write at the same-run stream rate, with margin)."""
     import jax
@@ -79,7 +80,11 @@ def bench_config(n: int, batch: int, floor_s: float = 0.0):
 
     from rustfft_tpu import FftPlanner
 
-    plan = FftPlanner().plan_fft_forward(n)
+    planner = FftPlanner()
+    plan = (
+        planner.plan_fft_inverse(n) if inverse
+        else planner.plan_fft_forward(n)
+    )
     rng = np.random.default_rng(0)
     # tiny magnitudes so the chained unnormalized FFTs stay finite longer in
     # f32 without a per-iteration scale (which would add an elementwise HBM
@@ -187,9 +192,12 @@ def mxu_flops_per_point(n: int):
     if route == "dense":
         from rustfft_tpu.ops.pallas import dense
 
-        npad = dense._n_pad(n)
-        fac = 8 if npad <= 256 else 6  # dense's measured variant rule
-        return fac * npad * passes
+        g = dense._pack_group(n)
+        npad = dense._n_pad(g * n)
+        # flop factor tracks the kernel's own variant chooser (block GEMM
+        # = 8 flops/unit-K, Gauss 3-mult = 6); per-point K is npad^2/(g*n)
+        fac = 8 if dense.choose_variant(n) == "block" else 6
+        return fac * npad * npad / (g * n) * passes
     if route == "lanepack":
         return 8 * sum(lanepack.choose_radices(n)) * passes
     if route == "two_stage":
@@ -313,19 +321,28 @@ def main():
 
     enable_persistent_compilation_cache()
 
+    # (n, batch, inverse).  The original 12 sizes are kept verbatim for
+    # cross-round continuity; round 5 adds the dense-tier small band
+    # (256/512 — BASELINE scenario 2's 2..1024 sweep band, previously
+    # unrepresented) and one inverse row (scenario 2 is fwd+inv; inverse
+    # throughput had never entered a driver artifact).  README documents
+    # the set change.
     configs = [
-        (1024, 65536),
-        (4096, 16384),
-        (65536, 1024),
-        (1 << 20, 64),
-        (1 << 22, 16),
-        (1 << 23, 8),  # fused 2-kernel tier (reference benches to 2^24)
-        (1 << 24, 4),
-        (1 << 25, 2),  # beyond the reference's bench envelope (large2f)
-        (1234, 8192),  # BASELINE config 1 (planner path, non-pow2)
-        (1009, 8192),  # BASELINE config 3 (Rader prime)
-        (65537, 512),  # BASELINE config 3 (largest prime; Rader inner 2^16)
-        (3888, 16384),  # BASELINE config 4 (2^4 * 3^5 mixed radix)
+        (1024, 65536, False),
+        (4096, 16384, False),
+        (65536, 1024, False),
+        (1 << 20, 64, False),
+        (1 << 22, 16, False),
+        (1 << 23, 8, False),  # fused 2-kernel tier (reference benches to 2^24)
+        (1 << 24, 4, False),
+        (1 << 25, 2, False),  # beyond the reference's bench envelope (large2f)
+        (1234, 8192, False),  # BASELINE config 1 (planner path, non-pow2)
+        (1009, 8192, False),  # BASELINE config 3 (Rader prime)
+        (65537, 512, False),  # BASELINE config 3 (largest prime; Rader inner 2^16)
+        (3888, 16384, False),  # BASELINE config 4 (2^4 * 3^5 mixed radix)
+        (256, 262144, False),  # dense whole-DFT MXU tier (BASELINE scenario 2)
+        (512, 131072, False),  # dense tier, upper small band
+        (65536, 1024, True),  # inverse direction (BASELINE scenario 2 is fwd+inv)
     ]
 
     stream_gbps = bench_stream()
@@ -340,22 +357,34 @@ def main():
     roofline_pcts = []
     skipped = []
     floored = []
-    for n, batch in configs:
+    for n, batch, inverse in configs:
         # physical floor: one HBM read + write of the f32 pair per FFT at
         # 1.5x the measured stream rate (margin for stream-probe noise)
         floor_s = 16.0 * batch * n / (stream_gbps * 1.5e9)
         try:
             try:
                 t_per, gflops, was_floored = bench_config(
-                    n, batch, floor_s=floor_s
+                    n, batch, floor_s=floor_s, inverse=inverse
                 )
             except Exception as e:  # noqa: BLE001 — the remote compile
                 # helper occasionally dies transiently (SIGABRT/HTTP 500
-                # observed 2026-08-18); one retry before dropping the row
-                print(f"# n={n:>8}: retrying after ({str(e)[:120]})",
+                # observed 2026-08-18); one retry before dropping the row.
+                # Deterministic failures (unsupported-size asserts, VMEM
+                # rejections) skip the retry — no point paying a second
+                # 20-40s AOT compile for a permanently-broken row.
+                msg = str(e)
+                transient = any(
+                    s in msg
+                    for s in ("SIGABRT", "500", "503", "Connection",
+                              "timeout", "Timeout", "INTERNAL",
+                              "UNAVAILABLE", "ABORTED", "Socket")
+                )
+                if not transient:
+                    raise
+                print(f"# n={n:>8}: retrying after ({msg[:120]})",
                       file=sys.stderr)
                 t_per, gflops, was_floored = bench_config(
-                    n, batch, floor_s=floor_s
+                    n, batch, floor_s=floor_s, inverse=inverse
                 )
             if was_floored:
                 floored.append(n)
@@ -378,8 +407,9 @@ def main():
         pct = 100.0 * gflops / roof
         results.append((gflops, base_gflops))
         roofline_pcts.append(pct)
+        tag = " inv" if inverse else ""
         print(
-            f"# n={n:>8} batch={batch:>6}: {t_per*1e3:8.3f} ms/fft "
+            f"# n={n:>8}{tag} batch={batch:>6}: {t_per*1e3:8.3f} ms/fft "
             f"{gflops:9.1f} GFLOP/s | roof mem {mem_roof:7.0f} mxu {comp_txt}"
             f" -> {pct:5.1f}% of {wall} "
             f"| numpy cpu {base_gflops:6.1f} | ratio {gflops/base_gflops:8.1f}x",
@@ -393,7 +423,8 @@ def main():
         json.dumps(
             {
                 "metric": "batched c64 FFT GFLOP/s, geomean over sizes "
-                "{1024,4096,65536,2^20,2^22..2^25,1234,1009,65537,3888}",
+                "{256,512,1024,4096,65536(fwd+inv),2^20,2^22..2^25,"
+                "1234,1009,65537,3888}",
                 "value": round(geo, 2),
                 "unit": "GFLOP/s (5N log2 N)",
                 "vs_baseline": round(geo / geo_base, 2),

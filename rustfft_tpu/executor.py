@@ -175,6 +175,13 @@ def pallas_route(n: int, dtype, mode: Optional[str] = None) -> Optional[str]:
     if fused.fused_supported(n, dtype) and mode != "tpu":
         # interpret mode keeps exercising the plain fused kernel off-TPU
         return "two_stage"
+    # backstop for the (MAX_FUSED_N, large_min) gap: sizes too big for the
+    # single-pass kernels but below the large tier's threshold, with no
+    # radix-r split (e.g. 393216 = 3*2^17 — radix needs r = n/16384 a pow2).
+    # large_supported's own bounds keep misaligned composites out (their
+    # q1*q2 rest is never a 128-multiple, so kernel-B tiling fails), so this
+    # never shadows the large_pad / dense tiers below.  Deliberately ignores
+    # large_min: the alternative here is the XLA six-step, not a faster tier.
     if large.large_supported(n, dtype):
         return "large"
     # tier 6: lane-misaligned big composites (pow5/3^k, ...) run the

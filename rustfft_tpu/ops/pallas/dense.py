@@ -115,6 +115,16 @@ def pad_worth_it(n: int) -> bool:
     return PrimeFactors.compute(n).has_factors_gt(32)
 
 
+def choose_variant(n: int) -> str:
+    """Measured GEMM-form rule for length n (round-4 crossovers, see
+    make_dense_fft_fn): the 4-mult "block" form while the packed row fits
+    2 vregs, the 3-mult "gauss" form above.  The single source of truth
+    for make_dense_fft_fn's default AND bench.py's roofline flop factor —
+    keep them from drifting apart.
+    """
+    return "block" if _n_pad(_pack_group(n) * n) <= 256 else "gauss"
+
+
 def dense_supported(n: int, dtype, variant: str = "gauss") -> bool:
     """True when the dense whole-DFT kernel can serve length n (c64).
 
@@ -195,7 +205,10 @@ def make_dense_fft_fn(
     # above (500: 560 vs 466, 512: 578 vs 467, 1009: 349 vs 273) — fewer
     # bf16 passes once the (2npad)^2 tables stop fitting comfortably.
     if variant is None:
-        variant = "block" if npad <= 256 else "gauss"
+        variant = (
+            choose_variant(n) if pack is None
+            else ("block" if npad <= 256 else "gauss")
+        )
     if batch_tile is None:
         # bt=64 edges bt=128 for fat rows (1009: 349 vs 330, 1234: 316 vs
         # 282, 2003: 210 vs 196); bt=128 wins below (128: 966 vs 514)

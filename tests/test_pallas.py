@@ -574,6 +574,12 @@ def test_pallas_route_table():
         1 << 26: "large3f",
         3 << 22: None,  # non-pow2 P2 digit -> XLA path
         100: None,      # below pallas_min_n
+        # the (MAX_FUSED_N, large_min) backstop: too big for one pass, no
+        # radix-r pow2 split — the late large_supported branch serves these
+        # below large_min on purpose (the alternative is the XLA six-step)
+        393216: "large", 327680: "large",
+        # 3*2^16 stays aligned two_stage (q = 3*2^16/256 is a 128-multiple)
+        196608: "two_stage",
     }
     for n, route in expect.items():
         assert executor.pallas_route(n, np.complex64, mode="tpu") == route, n
