@@ -1120,6 +1120,150 @@ def _fused_kernel_ctwg(r, p, q, tb, precision, direction, *refs):
     oi_ref[:] = jnp.concatenate(outs_i, axis=-1).reshape(tb * q, r * p)
 
 
+def _fused_kernel_ctwgn(r, p, q, tb, precision, direction, *refs):
+    """ctwg math on NARROW (·, q)-lane HBM views of the same bytes.
+
+    Round-5 DMA finding (tools/perf_narrow.py, same-run v5e): a pure pair
+    copy of identical HBM bytes runs ~1.5x faster when the array is
+    described with a 128-wide lane axis ((batch*p*r, q)-shaped views) than
+    at the ctwg kernel's (batch*p, r*q) view — and input_output_aliases on
+    the narrow view reaches the full stream rate.  This kernel re-describes
+    the radix kernel's I/O in that fast class: the input block arrives as
+    (tb*p*r, q) [rows (tile, b, a), lanes j2 — q = 128 always], the a-digit
+    chunks land exactly on lane-row boundaries, and every contraction stays
+    a <=3D sublane contraction (the measured kernel-structure rule).
+
+    Same tables/consts as _fused_kernel_ctwg; only the views change.
+    """
+    (xr_ref, xi_ref), consts, (or_ref, oi_ref) = refs[:2], refs[2:-2], refs[-2:]
+    wA = consts[0:6]
+    wc_refs = consts[6 : 6 + 6 * r]
+    tr_ref, ti_ref = consts[6 + 6 * r :]
+    dims = (((1,), (1,)), ((), ()))
+
+    def gauss(xr, xi, w6):
+        return gauss_contract(xr, xi, w6, dims, precision)
+
+    # narrow block: (tb*p*r, q), rows = (tile, b, a), lanes = j2
+    xr3 = xr_ref[:].reshape(tb * p, r, q)
+    xi3 = xi_ref[:].reshape(tb * p, r, q)
+
+    tr_full, ti_full = tr_ref[:], ti_ref[:]  # (r*q, p) [(a, j2), d]
+    br_l, bi_l = [], []
+    for a in range(r):
+        xa_r = xr3[:, a, :].reshape(tb, p, q)
+        xa_i = xi3[:, a, :].reshape(tb, p, q)
+        # stage A: DFT_p over the sublane b axis, one a-chunk at a time
+        ar, ai = gauss(xa_r, xa_i, wA)  # (tb, q, p) [j2, d]
+        # merged twiddle T[(a, j2), d] = w_n^{(a*q+j2)*d}: per-a row slice
+        ta_r = tr_full[a * q : (a + 1) * q, :]
+        ta_i = ti_full[a * q : (a + 1) * q, :]
+        br_l.append(ar * ta_r - ai * ta_i)
+        bi_l.append(ar * ta_i + ai * ta_r)
+
+    # pure DFT_r over the a-chunk list (VPU chain, scalar twiddles)
+    cr_l, ci_l = _vpu_fft_list(br_l, bi_l, direction)
+
+    # per-c stage B: c-twiddled DFT_q via Gauss dots
+    outs_r, outs_i = [], []
+    for c in range(r):
+        er, ei = gauss(cr_l[c], ci_l[c], wc_refs[6 * c : 6 * c + 6])
+        outs_r.append(jnp.swapaxes(er, -1, -2))  # (tb, q, p) [k2, d]
+        outs_i.append(jnp.swapaxes(ei, -1, -2))
+
+    # natural order k = k2*rp + c*p + d -> narrow rows (tile, k2, c), lanes d
+    or_ref[:] = jnp.stack(outs_r, axis=2).reshape(tb * q * r, p)
+    oi_ref[:] = jnp.stack(outs_i, axis=2).reshape(tb * q * r, p)
+
+
+def _flat_in_relayout(x, tb, p, r, q):
+    """(tb, n) flat block -> (tb, p, r*q) [b, d, (a, j2)] via lane slicing.
+
+    The round-5 DMA sweep (tools/perf_narrow.py, same-run v5e) found ONLY
+    the flat (batch, n) whole-transform-row view copies fast (330 GB/s un-
+    aliased, 660 aliased = full stream); every tiled description — including
+    the radix kernel's (batch*p, r*q) and narrow (batch*p*r, q) views of the
+    same bytes — runs ~218.  Lane-dim reshapes are illegal in VMEM, so the
+    d digit (lane stride r*q in the flat view) moves to sublanes with a
+    2-level lane-slice + stack pyramid (8x16 = p); jnp.stack's axis
+    placement orders (b, d_hi, d_lo) so no sublane transpose is needed.
+    """
+    n = p * r * q
+    w1 = n // 8  # level-1 chunk: d_hi in [0, 8)
+    z1 = jnp.stack([x[:, c * w1 : (c + 1) * w1] for c in range(8)], axis=1)
+    w2 = r * q  # level-2 chunk: d_lo in [0, 16)
+    z2 = jnp.stack(
+        [z1[:, :, c * w2 : (c + 1) * w2] for c in range(16)], axis=2
+    )  # (tb, 8, 16, r*q) [b, d_hi, d_lo, (a, j2)]
+    return z2.reshape(tb, p, r * q)
+
+
+def _flat_out_relayout(w, tb, p, r, q):
+    """(tb, q, r*p) [b, k2, (c, d)] -> (tb, n) flat, lane k = k2*rp + c*p + d.
+
+    Inverse pyramid of _flat_in_relayout: k2 (sublanes) splits 8x16 and
+    lane-concats back into the high lane digits.
+    """
+    n = p * r * q
+    w4 = w.reshape(tb, 8, q // 8, r * p)  # [b, k2_hi, k2_lo, (c, d)]
+    u = jnp.concatenate(
+        [w4[:, :, i, :] for i in range(q // 8)], axis=-1
+    )  # (tb, 8, (q//8)*r*p) [b, k2_hi, (k2_lo, c, d)]
+    return jnp.concatenate(
+        [u[:, i, :] for i in range(8)], axis=-1
+    ).reshape(tb, n)
+
+
+def _fused_kernel_ctwgx(r, p, q, tb, precision, direction, *refs):
+    """ctwg math on FLAT (batch, n) HBM views — the fast DMA class.
+
+    Identical tables and stage structure to _fused_kernel_ctwg; the I/O
+    blocks are (tb, n) rows of whole transforms (330 GB/s unaliased /
+    660 aliased vs 218 for the tiled views — tools/perf_narrow.py), and
+    the digit relayouts run in VMEM as lane-slice/stack pyramids (~4 VPU
+    passes each way, priced at ~24 us per full-data pass by the round-5
+    op ladder).
+    """
+    (xr_ref, xi_ref), consts, (or_ref, oi_ref) = refs[:2], refs[2:-2], refs[-2:]
+    wA = consts[0:6]
+    wc_refs = consts[6 : 6 + 6 * r]
+    tr_ref, ti_ref = consts[6 + 6 * r :]
+    dims = (((1,), (1,)), ((), ()))
+
+    def gauss(xr, xi, w6):
+        return gauss_contract(xr, xi, w6, dims, precision)
+
+    xr = _flat_in_relayout(xr_ref[:], tb, p, r, q)
+    xi = _flat_in_relayout(xi_ref[:], tb, p, r, q)
+
+    # stage A: DFT_p over the sublane b axis (3 Gauss dots, K = p each)
+    ar, ai = gauss(xr, xi, wA)  # (tb, r*q, p) [b, (a,j2), d]
+
+    # the ONE merged twiddle: T[(a,j2), d] = w_n^{(a*q+j2)*d}
+    tr, ti = tr_ref[:], ti_ref[:]
+    br = ar * tr - ai * ti
+    bi = ar * ti + ai * tr
+
+    # pure DFT_r over a (VPU chain, scalar twiddles)
+    cr_l, ci_l = _vpu_fft_list(
+        [br[:, j * q : (j + 1) * q, :] for j in range(r)],
+        [bi[:, j * q : (j + 1) * q, :] for j in range(r)],
+        direction,
+    )
+
+    # per-c stage B: c-twiddled DFT_q via Gauss dots
+    outs_r, outs_i = [], []
+    for c in range(r):
+        er, ei = gauss(cr_l[c], ci_l[c], wc_refs[6 * c : 6 * c + 6])
+        outs_r.append(jnp.swapaxes(er, -1, -2))  # (tb, q, p) [k2, d]
+        outs_i.append(jnp.swapaxes(ei, -1, -2))
+
+    wr = jnp.concatenate(outs_r, axis=-1)  # (tb, q, r*p) [b, k2, (c, d)]
+    wi = jnp.concatenate(outs_i, axis=-1)
+    or_ref[:] = _flat_out_relayout(wr, tb, p, r, q)
+    oi_ref[:] = _flat_out_relayout(wi, tb, p, r, q)
+
+
 def gauss_contract(xr, xi, w6, dims, precision):
     """Complex contraction via Gauss's 3 real dots (25% less MXU work).
 
@@ -1241,7 +1385,7 @@ def make_fused_radix_fn(
     rdt = np.float32
     precision = resolve_precision(precision, interpret)
 
-    if variant == "ctwg":
+    if variant in ("ctwg", "ctwgn", "ctwgx"):
         consts = _ctwg_consts(r, p, q, direction, precision, rdt)
     elif variant == "ctw":
         consts = _ctw_consts(r, p, q, direction, precision, rdt)
@@ -1278,7 +1422,15 @@ def make_fused_radix_fn(
     def call(xr, xi, tb):
         batch = xr.shape[0]
         grid = batch // tb
-        if variant == "ctwg":
+        if variant == "ctwgx":
+            kernel = functools.partial(
+                _fused_kernel_ctwgx, r, p, q, tb, precision, direction
+            )
+        elif variant == "ctwgn":
+            kernel = functools.partial(
+                _fused_kernel_ctwgn, r, p, q, tb, precision, direction
+            )
+        elif variant == "ctwg":
             kernel = functools.partial(
                 _fused_kernel_ctwg, r, p, q, tb, precision, direction
             )
@@ -1290,8 +1442,23 @@ def make_fused_radix_fn(
             kernel = functools.partial(
                 _fused_kernel_vpur, r, p, q, tb, precision, direction, variant
             )
-        in_bspec = pl.BlockSpec((tb * p, r * q), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
-        out_bspec = pl.BlockSpec((tb * q, m1), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
+        if variant == "ctwgx":
+            # flat (batch, n) whole-transform-row views — the fast DMA class
+            in_view = (batch, n)
+            out_view = (batch, n)
+            in_bspec = pl.BlockSpec((tb, n), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
+            out_bspec = pl.BlockSpec((tb, n), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
+        elif variant == "ctwgn":
+            # narrow 128-lane I/O views of the same bytes (round-5 DMA class)
+            in_view = (batch * p * r, q)
+            out_view = (batch * q * r, p)
+            in_bspec = pl.BlockSpec((tb * p * r, q), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
+            out_bspec = pl.BlockSpec((tb * q * r, p), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
+        else:
+            in_view = (batch * p, r * q)
+            out_view = (batch * q, m1)
+            in_bspec = pl.BlockSpec((tb * p, r * q), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
+            out_bspec = pl.BlockSpec((tb * q, m1), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
 
         def cspec(w):
             return pl.BlockSpec(w.shape, i32map(lambda i: (0, 0)), memory_space=pltpu.VMEM)
@@ -1301,15 +1468,15 @@ def make_fused_radix_fn(
             grid=(grid,),
             in_specs=[in_bspec, in_bspec] + [cspec(w) for w in consts],
             out_specs=[out_bspec, out_bspec],
-            out_shape=[jax.ShapeDtypeStruct((batch * q, m1), jnp.float32)] * 2,
+            out_shape=[jax.ShapeDtypeStruct(out_view, jnp.float32)] * 2,
             input_output_aliases={0: 0, 1: 1} if in_place else {},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=max(config.pallas_vmem_limit, 112 * 2**20)
             ),
             interpret=interpret,
         )(
-            xr.reshape(batch * p, r * q),
-            xi.reshape(batch * p, r * q),
+            xr.reshape(in_view),
+            xi.reshape(in_view),
             *[jnp.asarray(w) for w in consts],
         )
         return out_r.reshape(batch, n), out_i.reshape(batch, n)
