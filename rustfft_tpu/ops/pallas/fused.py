@@ -1177,41 +1177,36 @@ def _fused_kernel_ctwgn(r, p, q, tb, precision, direction, *refs):
 
 
 def _flat_in_relayout(x, tb, p, r, q):
-    """(tb, n) flat block -> (tb, p, r*q) [b, d, (a, j2)] via lane slicing.
+    """(tb, n) flat block -> (tb, p, r*q) [b, (a, j2)] via lane slicing.
 
     The round-5 DMA sweep (tools/perf_narrow.py, same-run v5e) found ONLY
     the flat (batch, n) whole-transform-row view copies fast (330 GB/s un-
     aliased, 660 aliased = full stream); every tiled description — including
     the radix kernel's (batch*p, r*q) and narrow (batch*p*r, q) views of the
     same bytes — runs ~218.  Lane-dim reshapes are illegal in VMEM, so the
-    d digit (lane stride r*q in the flat view) moves to sublanes with a
-    2-level lane-slice + stack pyramid (8x16 = p); jnp.stack's axis
-    placement orders (b, d_hi, d_lo) so no sublane transpose is needed.
+    b digit (lane stride r*q in the flat view) moves to the mid sublane axis
+    with one p-way lane-slice stack.  Pure 3D: the 4D two-level pyramid
+    variant crashed the Mosaic remote compiler (HTTP 500, 2026-08-19 —
+    the known implicit-dimension class).
     """
-    n = p * r * q
-    w1 = n // 8  # level-1 chunk: d_hi in [0, 8)
-    z1 = jnp.stack([x[:, c * w1 : (c + 1) * w1] for c in range(8)], axis=1)
-    w2 = r * q  # level-2 chunk: d_lo in [0, 16)
-    z2 = jnp.stack(
-        [z1[:, :, c * w2 : (c + 1) * w2] for c in range(16)], axis=2
-    )  # (tb, 8, 16, r*q) [b, d_hi, d_lo, (a, j2)]
-    return z2.reshape(tb, p, r * q)
+    rq = r * q
+    return jnp.stack(
+        [x[:, b * rq : (b + 1) * rq] for b in range(p)], axis=1
+    )  # (tb, p, r*q)
 
 
-def _flat_out_relayout(w, tb, p, r, q):
-    """(tb, q, r*p) [b, k2, (c, d)] -> (tb, n) flat, lane k = k2*rp + c*p + d.
+def _flat_out_store(o_ref, w, p, r, q):
+    """Store (tb, q, r*p) [b, k2, (c, d)] into a flat (tb, n) out ref.
 
-    Inverse pyramid of _flat_in_relayout: k2 (sublanes) splits 8x16 and
-    lane-concats back into the high lane digits.
+    Lane k = k2*rp + c*p + d: per-k2 static lane-slice STORES.  A q-way
+    lane-concat producing the (tb, n) value crashes the Mosaic remote
+    compiler (HTTP 500 — tools/perf_ctwgx_debug.py bisect, 2026-08-19)
+    while slice-stores into the wide out ref compile; the input-side p-way
+    stack is fine either way.
     """
-    n = p * r * q
-    w4 = w.reshape(tb, 8, q // 8, r * p)  # [b, k2_hi, k2_lo, (c, d)]
-    u = jnp.concatenate(
-        [w4[:, :, i, :] for i in range(q // 8)], axis=-1
-    )  # (tb, 8, (q//8)*r*p) [b, k2_hi, (k2_lo, c, d)]
-    return jnp.concatenate(
-        [u[:, i, :] for i in range(8)], axis=-1
-    ).reshape(tb, n)
+    rp = r * p
+    for k2 in range(q):
+        o_ref[:, k2 * rp : (k2 + 1) * rp] = w[:, k2, :]
 
 
 def _fused_kernel_ctwgx(r, p, q, tb, precision, direction, *refs):
@@ -1260,8 +1255,8 @@ def _fused_kernel_ctwgx(r, p, q, tb, precision, direction, *refs):
 
     wr = jnp.concatenate(outs_r, axis=-1)  # (tb, q, r*p) [b, k2, (c, d)]
     wi = jnp.concatenate(outs_i, axis=-1)
-    or_ref[:] = _flat_out_relayout(wr, tb, p, r, q)
-    oi_ref[:] = _flat_out_relayout(wi, tb, p, r, q)
+    _flat_out_store(or_ref, wr, p, r, q)
+    _flat_out_store(oi_ref, wi, p, r, q)
 
 
 def gauss_contract(xr, xi, w6, dims, precision):
@@ -1411,6 +1406,10 @@ def make_fused_radix_fn(
     def _tb(batch):
         if batch_tile:
             return batch_tile
+        if variant == "ctwgx":
+            # flat (tb, n) blocks need tb % 8 == 0 (sublane divisibility);
+            # 8 whole transforms per block is also the VMEM sweet spot
+            return 8
         copies = 24 + 3 * r.bit_length()
         budget = max(config.pallas_vmem_limit, 112 * 2**20) - 12 * n
         tb = max(1, budget // (copies * 4 * n))

@@ -64,14 +64,6 @@ def main():
             row(tag, fn, re, im, flops, nbytes)
         if n == 65536:
             fn = fused.make_fused_radix_fn(
-                n, FftDirection.FORWARD, np.complex64, variant="ctwgn")
-            row("ctwgn (narrow)", fn, re, im, flops, nbytes)
-            for tb in (4, 16):
-                fn = fused.make_fused_radix_fn(
-                    n, FftDirection.FORWARD, np.complex64,
-                    variant="ctwgx", batch_tile=tb)
-                row(f"ctwgx tb={tb}", fn, re, im, flops, nbytes)
-            fn = fused.make_fused_radix_fn(
                 n, FftDirection.FORWARD, np.complex64,
                 variant="ctwgx", batch_tile=16, in_place=True)
             row("ctwgx tb=16+alias", fn, re, im, flops, nbytes)
