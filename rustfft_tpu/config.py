@@ -184,17 +184,20 @@ class FftConfig:
     #: Other accepted values: jax.lax.Precision.HIGHEST / .DEFAULT.
     pallas_precision: object = "bf16x3s"
 
-    #: Radix-r fused-kernel variant.  "ctwg" (default) = merged twiddle
-    #: table + per-c twiddle-folded stage-B weights + Gauss 3-multiplication
-    #: complex GEMMs (25% less MXU work per stage).  Hardware A/B at x3s
-    #: (tools/perf_ctw.py, same run): 32768: 960 vs 910; 65536: 1006 vs
-    #: 961; 131072: 836 vs 826; 262144: 790 vs 782 GF/s.  The probe ladder
-    #: (tools/perf_anatomy.py) shows GEMM time is the visible increment in
-    #: the one-pass band while elementwise ops ride free — Gauss converts
-    #: MXU flops into free VPU adds.  Other values: "default", "ctw",
-    #: "wlhs_b" (measured 2.5x SLOWER — leading permutes cost more than
-    #: lane transposes on v5e).
-    radix_variant: str = "ctwg"
+    #: Radix-r fused-kernel variant.  "ctwgx" (round-5 default) = ctwg math
+    #: on FLAT (batch, n) HBM views: the round-5 DMA sweep found only the
+    #: whole-transform-row view rides the fast DMA class (330 GB/s unaliased
+    #: / 660 aliased vs ~218 for every tiled description), and the in-VMEM
+    #: digit relayouts (p-way lane-slice stack in, per-k2 slice-stores out)
+    #: are ~free.  Same-run v5e A/B vs ctwg (tools/perf_ctwgn.py):
+    #: 32768: 959 -> 1289 (2150 aliased); 65536: 1003 -> 1302 (2086);
+    #: 131072: 830 -> 1284 (2053 aliased) GF/s.  "ctwg" = the round-4
+    #: tiled-view default (merged twiddle + per-c twiddle-folded stage-B
+    #: weights + Gauss 3-mult GEMMs; 32768: 960 vs 910; 65536: 1006 vs 961;
+    #: 131072: 836 vs 826; 262144: 790 vs 782 vs ctw).  Other values:
+    #: "ctwgn" (narrow (.,128) views: 737 at 65536 — recorded negative),
+    #: "default", "ctw", "wlhs_b" (2.5x SLOWER).
+    radix_variant: str = "ctwgx"
 
     #: Two-stage fused-kernel variant.  "gauss" (default): 4096: 492 vs
     #: 483; 8192: 603 vs 591; 16384: 940 vs 846; 65536: 825 vs 708 GF/s
@@ -216,7 +219,12 @@ class FftConfig:
     #: entry parameter the caller still owns, so this is always correct;
     #: it pays when the operand is a loop carry, a donated arg, or an
     #: XLA temp (the pad/pack copies in dense/radix apply()).
-    pallas_in_place: bool = False
+    #: Round-5 default ON: with the flat-view ctwgx kernel the aliased
+    #: form rides the full 660 GB/s stream class — 1302 -> 2086 GF/s at
+    #: 65536, 1289 -> 2150 at 32768, 1284 -> 2053 at 131072 (same-run
+    #: v5e, tools/perf_ctwgn.py).  This matches the reference's in-place
+    #: execution model (lib.rs:195-211: process() overwrites the buffer).
+    pallas_in_place: bool = True
     #: Scoped VMEM budget for Pallas kernels (bytes).  The TPU default is
     #: 16MB; v5e cores have more physical VMEM, and a larger budget lets the
     #: fused kernels run bigger batch tiles (fewer grid steps).

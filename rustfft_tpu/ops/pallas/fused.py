@@ -1373,7 +1373,9 @@ def make_fused_radix_fn(
     rpq = split or choose_rpq(n)
     assert rpq is not None, f"no radix-r fused split for n={n}"
     r, p, q = rpq
-    if in_place:
+    if in_place and variant != "ctwgx":
+        # ctwgx aliases flat (batch, n) views — always shape-legal; the
+        # tiled variants need matching (tb*p, r*q)/(tb*q, r*p) blocks
         assert p == q, f"in_place radix kernel needs p == q, got {rpq}"
     m1 = r * p
     assert m1 * q == n
