@@ -59,6 +59,7 @@ def radix_conv_supported(m: int, dtype) -> bool:
 
 def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
             conj_out, has_post, has_inperm, has_outperm, has_sum, has_addc,
+            flat_in, flat_out,
             xr_ref, xi_ref, x0r_ref, x0i_ref, wp_hi_ref, wp_lo_ref,
             wq_hi_ref, wq_lo_ref, t1r_ref, t1i_ref, t2r_ref, t2i_ref,
             prer_ref, prei_ref, hr_ref, hi_ref, postr_ref, posti_ref,
@@ -96,19 +97,24 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
     m1 = r * p
     if has_sum:
         osr_ref, osi_ref = sum_refs
-        in_rows = (r * p) if has_inperm else p_in
-        # staged reduction: sum the middle (row-grid) axis to a (tb, lanes)
-        # tile, then the lane axis.  The one-shot axis=(1, 2) reduce
-        # SIGABRTs the Mosaic compile helper on v5e (isolated to the
-        # multi-axis reduce itself in a minimal probe, 2026-08-18).
-        sr_sum = jnp.sum(
-            jnp.sum(xr_ref[:].reshape(tb, in_rows, -1), axis=1),
-            axis=1, keepdims=True,
-        )
-        si_sum = jnp.sum(
-            jnp.sum(xi_ref[:].reshape(tb, in_rows, -1), axis=1),
-            axis=1, keepdims=True,
-        )
+        if flat_in:
+            # flat (tb, n_in) block: one lane-axis reduce per signal row
+            sr_sum = jnp.sum(xr_ref[:], axis=1, keepdims=True)
+            si_sum = jnp.sum(xi_ref[:], axis=1, keepdims=True)
+        else:
+            in_rows = (r * p) if has_inperm else p_in
+            # staged reduction: sum the middle (row-grid) axis to a
+            # (tb, lanes) tile, then the lane axis.  The one-shot
+            # axis=(1, 2) reduce SIGABRTs the Mosaic compile helper on
+            # v5e (isolated in a minimal probe, 2026-08-18).
+            sr_sum = jnp.sum(
+                jnp.sum(xr_ref[:].reshape(tb, in_rows, -1), axis=1),
+                axis=1, keepdims=True,
+            )
+            si_sum = jnp.sum(
+                jnp.sum(xi_ref[:].reshape(tb, in_rows, -1), axis=1),
+                axis=1, keepdims=True,
+            )
         osr_ref[:] = jnp.broadcast_to(sr_sum, (tb, 128))
         osi_ref[:] = jnp.broadcast_to(si_sum, (tb, 128))
     if has_inperm:
@@ -116,14 +122,25 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
         iz1, iy1, iy2, iz2 = i1_ref[:], i2_ref[:], i4_ref[:], i5_ref[:]
         sel_a = i3_ref[:]
         sel = [[sel_a[xd, xs] for xs in range(r)] for xd in range(r)]
+        if flat_in:
+            # flat (tb, m) block -> per-signal (W, Z) views via a W-way
+            # lane-slice stack (the round-5 fast-DMA relayout)
+            fr = jnp.stack(
+                [xr_ref[:, w * q : (w + 1) * q] for w in range(w_rows)],
+                axis=1,
+            )  # (tb, W, q)
+            fi = jnp.stack(
+                [xi_ref[:, w * q : (w + 1) * q] for w in range(w_rows)],
+                axis=1,
+            )
         sig_r, sig_i = [], []
         for s in range(tb):
+            xr_s = fr[s] if flat_in else xr_ref[s * w_rows:(s + 1) * w_rows, :]
+            xi_s = fi[s] if flat_in else xi_ref[s * w_rows:(s + 1) * w_rows, :]
             sig_r.append(permute._apply_phases(
-                xr_ref[s * w_rows:(s + 1) * w_rows, :], r, iz1, iy1, sel,
-                iy2, iz2))
+                xr_s, r, iz1, iy1, sel, iy2, iz2))
             sig_i.append(permute._apply_phases(
-                xi_ref[s * w_rows:(s + 1) * w_rows, :], r, iz1, iy1, sel,
-                iy2, iz2))
+                xi_s, r, iz1, iy1, sel, iy2, iz2))
         # (tb, p, r, q) [j1, a, j2]: row (j1*r + a) of the (W, Z) view
         vr = jnp.stack(sig_r, axis=0).reshape(tb, p, r, q)
         vi = jnp.stack(sig_i, axis=0).reshape(tb, p, r, q)
@@ -138,8 +155,19 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
             ))  # (tb, q, 2p) [j2, d]
         a = jnp.stack(a_l, axis=1)  # (tb, r, q, 2p)
     else:
-        xr = xr_ref[:].reshape(tb, p_in, r * q)
-        xi = xi_ref[:].reshape(tb, p_in, r * q)
+        if flat_in:
+            rq = r * q
+            xr = jnp.stack(
+                [xr_ref[:, b * rq : (b + 1) * rq] for b in range(p_in)],
+                axis=1,
+            )  # (tb, p_in, r*q)
+            xi = jnp.stack(
+                [xi_ref[:, b * rq : (b + 1) * rq] for b in range(p_in)],
+                axis=1,
+            )
+        else:
+            xr = xr_ref[:].reshape(tb, p_in, r * q)
+            xi = xi_ref[:].reshape(tb, p_in, r * q)
 
         if has_pre:
             pr = prer_ref[:]  # (p_in, r*q) natural [j1, a*q + j2]
@@ -202,11 +230,30 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
         iz1, iy1, iy2, iz2 = o1_ref[:], o2_ref[:], o4_ref[:], o5_ref[:]
         sel_a = o3_ref[:]
         sel = [[sel_a[xd, xs] for xs in range(r)] for xd in range(r)]
+        perm_r, perm_i = [], []
         for s in range(tb):
-            or_ref[s * w_rows:(s + 1) * w_rows, :] = permute._apply_phases(
-                zr4[s].reshape(w_rows, p), r, iz1, iy1, sel, iy2, iz2)
-            oi_ref[s * w_rows:(s + 1) * w_rows, :] = permute._apply_phases(
-                zi4[s].reshape(w_rows, p), r, iz1, iy1, sel, iy2, iz2)
+            perm_r.append(permute._apply_phases(
+                zr4[s].reshape(w_rows, p), r, iz1, iy1, sel, iy2, iz2))
+            perm_i.append(permute._apply_phases(
+                zi4[s].reshape(w_rows, p), r, iz1, iy1, sel, iy2, iz2))
+        if flat_out:
+            # flat (tb, m) out ref (the fast DMA class): the permuted
+            # (W, Z) rows ARE the flat natural index (row w = k // 128),
+            # so emit groups of G rows as one <=2048-lane concat + one
+            # static lane-slice store (wide concats > 2048 crash Mosaic).
+            g_sz = min(16, w_rows)
+            st_r = jnp.stack(perm_r, axis=0)  # (tb, w_rows, p)
+            st_i = jnp.stack(perm_i, axis=0)
+            for g in range(w_rows // g_sz):
+                lo = g * g_sz * p
+                or_ref[:, lo : lo + g_sz * p] = jnp.concatenate(
+                    [st_r[:, g * g_sz + u, :] for u in range(g_sz)], axis=1)
+                oi_ref[:, lo : lo + g_sz * p] = jnp.concatenate(
+                    [st_i[:, g * g_sz + u, :] for u in range(g_sz)], axis=1)
+        else:
+            for s in range(tb):
+                or_ref[s * w_rows:(s + 1) * w_rows, :] = perm_r[s]
+                oi_ref[s * w_rows:(s + 1) * w_rows, :] = perm_i[s]
         return
 
     yr = jnp.concatenate(outs_r, axis=-1)  # (tb, q, r*p) natural [k2, k1]
@@ -232,8 +279,15 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
     if has_addc:
         outr = outr + x0r_ref[:, :1].reshape(tb, 1, 1)
         outi = outi + x0i_ref[:, :1].reshape(tb, 1, 1)
-    or_ref[:] = outr.reshape(tb * q, m1)
-    oi_ref[:] = outi.reshape(tb * q, m1)
+    if flat_out:
+        # flat (tb, m) out ref: per-k2 static lane-slice stores (a wide
+        # lane-concat here crashes the Mosaic remote compiler)
+        for k2 in range(q):
+            or_ref[:, k2 * m1 : (k2 + 1) * m1] = outr[:, k2, :]
+            oi_ref[:, k2 * m1 : (k2 + 1) * m1] = outi[:, k2, :]
+    else:
+        or_ref[:] = outr.reshape(tb * q, m1)
+        oi_ref[:] = outi.reshape(tb * q, m1)
 
 
 def _make_pass(
@@ -262,6 +316,15 @@ def _make_pass(
         assert q == 128 and p_in == p and pre is None
     if has_outperm:
         assert p == 128 and h is None and post is None
+    # Round-5 flat I/O: describe the pass's in/out as (batch, n) whole-
+    # signal rows (the fast DMA class — CLAUDE.md round-5 rule) and do the
+    # digit relayouts in VMEM (lane-slice stacks in, per-k2 slice-stores
+    # out).  The outperm write needs the (W, Z) row grid and stays tiled.
+    flat_in = q == 128
+    flat_out = not has_outperm
+    # aliasing is shape-legal when in and out are both the flat (batch, m)
+    # view (no input trim)
+    in_place = flat_in and flat_out and p_in == p and config.pallas_in_place
     idt = np.int32
     dummy_i = np.zeros((1, 1), idt)
     dummy_f = np.zeros((1, 1), rdt)
@@ -327,7 +390,11 @@ def _make_pass(
         tb = max(1, budget // (copies * 4 * m))
         tb = 1 << (tb.bit_length() - 1)
         # measured at m=65536 (same run): tb=16 (3.94ms) > 8 (4.05) > 4 > 2
-        return max(1, min(tb, 16, batch))
+        tb = max(1, min(tb, 16, batch))
+        if flat_in or flat_out:
+            # flat (tb, n) blocks need tb % 8 == 0 (sublane divisibility)
+            tb = 8 if tb < 16 else 16
+        return tb
 
     w_rows = r * p  # (W, Z) rows of one signal, q == Z == 128
 
@@ -342,7 +409,7 @@ def _make_pass(
         k = functools.partial(
             _kernel, r, p, q, tb, p_in, precision, direction, has_pre,
             has_h, conj_out, has_post, has_inperm, has_outperm, has_sum,
-            has_addc,
+            has_addc, flat_in, flat_out,
         )
         if has_addc:
             assert x0 is not None
@@ -363,7 +430,15 @@ def _make_pass(
         else:
             x0_arrs = [jnp.zeros((1, 1), jnp.float32)] * 2
             x0_specs = None  # filled below once cspec exists
-        if has_inperm:
+        if flat_in:
+            in_w = w_rows * q if has_inperm else p_in * r * q
+            in_bspec = pl.BlockSpec(
+                (tb, in_w), i32map(lambda i: (i, 0)),
+                memory_space=pltpu.VMEM,
+            )
+            xr2 = xr.reshape(bpad, in_w)
+            xi2 = xi.reshape(bpad, in_w)
+        elif has_inperm:
             in_bspec = pl.BlockSpec(
                 (tb * w_rows, q), i32map(lambda i: (i, 0)),
                 memory_space=pltpu.VMEM,
@@ -384,6 +459,14 @@ def _make_pass(
             )
             out_shape = [
                 jax.ShapeDtypeStruct((bpad * r * q, p), jnp.float32)
+            ] * 2
+        elif flat_out:
+            out_bspec = pl.BlockSpec(
+                (tb, m), i32map(lambda i: (i, 0)),
+                memory_space=pltpu.VMEM,
+            )
+            out_shape = [
+                jax.ShapeDtypeStruct((bpad, m), jnp.float32)
             ] * 2
         else:
             out_bspec = pl.BlockSpec(
@@ -420,6 +503,7 @@ def _make_pass(
             + [cspec(w) for w in consts],
             out_specs=out_specs,
             out_shape=out_shape,
+            input_output_aliases={0: 0, 1: 1} if in_place else {},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=max(config.pallas_vmem_limit, 112 * 2**20)
             ),
