@@ -51,6 +51,16 @@ from .fused import (_vpu_fft_list, choose_rpq, contract_rhs, resolve_precision,
 from .util import i32map
 
 
+# rows-per-store group for the flat Benes out-perm write.  Bisected on
+# hardware (tools/perf_outperm_bisect.py, 2026-08-19): every grouped-concat
+# width tried (4/8/16 rows -> 512/1024/2048-lane concat stores) crashes the
+# Mosaic remote compiler (HTTP 500) at m=65536; only the direct per-row
+# 128-lane slice-stores (gsz=1, w_rows of them) compile — and still beat
+# the tiled (tb*w_rows, 128) out blocks: bothperm core 9.36 -> 7.72 ms
+# same-run at 65536 x 511.
+_OUTPERM_GSZ = 1
+
+
 def radix_conv_supported(m: int, dtype) -> bool:
     if np.dtype(dtype) != np.complex64:
         return False
@@ -241,11 +251,15 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
             # (W, Z) rows ARE the flat natural index (row w = k // 128),
             # so emit groups of G rows as one <=2048-lane concat + one
             # static lane-slice store (wide concats > 2048 crash Mosaic).
-            g_sz = min(16, w_rows)
+            g_sz = min(_OUTPERM_GSZ, w_rows)
             st_r = jnp.stack(perm_r, axis=0)  # (tb, w_rows, p)
             st_i = jnp.stack(perm_i, axis=0)
             for g in range(w_rows // g_sz):
                 lo = g * g_sz * p
+                if g_sz == 1:
+                    or_ref[:, lo : lo + p] = st_r[:, g, :]
+                    oi_ref[:, lo : lo + p] = st_i[:, g, :]
+                    continue
                 or_ref[:, lo : lo + g_sz * p] = jnp.concatenate(
                     [st_r[:, g * g_sz + u, :] for u in range(g_sz)], axis=1)
                 oi_ref[:, lo : lo + g_sz * p] = jnp.concatenate(
@@ -319,9 +333,9 @@ def _make_pass(
     # Round-5 flat I/O: describe the pass's in/out as (batch, n) whole-
     # signal rows (the fast DMA class — CLAUDE.md round-5 rule) and do the
     # digit relayouts in VMEM (lane-slice stacks in, per-k2 slice-stores
-    # out).  The outperm write needs the (W, Z) row grid and stays tiled.
+    # out; grouped <=2048-lane concat stores for the Benes out-perm).
     flat_in = q == 128
-    flat_out = not has_outperm
+    flat_out = q == 128
     # aliasing is shape-legal when in and out are both the flat (batch, m)
     # view (no input trim)
     in_place = flat_in and flat_out and p_in == p and config.pallas_in_place
@@ -452,21 +466,21 @@ def _make_pass(
             )
             xr2 = xr.reshape(bpad * p_in, r * q)
             xi2 = xi.reshape(bpad * p_in, r * q)
-        if has_outperm:
-            out_bspec = pl.BlockSpec(
-                (tb * r * q, p), i32map(lambda i: (i, 0)),
-                memory_space=pltpu.VMEM,
-            )
-            out_shape = [
-                jax.ShapeDtypeStruct((bpad * r * q, p), jnp.float32)
-            ] * 2
-        elif flat_out:
+        if flat_out:
             out_bspec = pl.BlockSpec(
                 (tb, m), i32map(lambda i: (i, 0)),
                 memory_space=pltpu.VMEM,
             )
             out_shape = [
                 jax.ShapeDtypeStruct((bpad, m), jnp.float32)
+            ] * 2
+        elif has_outperm:
+            out_bspec = pl.BlockSpec(
+                (tb * r * q, p), i32map(lambda i: (i, 0)),
+                memory_space=pltpu.VMEM,
+            )
+            out_shape = [
+                jax.ShapeDtypeStruct((bpad * r * q, p), jnp.float32)
             ] * 2
         else:
             out_bspec = pl.BlockSpec(

@@ -322,25 +322,34 @@ def make_bluestein_large_fn(
         )(b_r, b_i, jnp.asarray(wk_hi), jnp.asarray(wk_lo))
         return z_r, z_i
 
+    def prologue(xr, xi):
+        """(B, n) pair -> padded+chirped (B, m) pair (one fused XLA write)."""
+        return calg.pad_last(
+            calg.cmul_const((xr, xi), jnp.asarray(cr), jnp.asarray(ci)),
+            m - n,
+        )
+
+    def epilogue(z_r, z_i, batch):
+        """(B, Q, pkeep) [l1, l2] -> (B, n): transpose, truncate, conj, chirp
+        (XLA fuses the elementwise tail into the transpose output)."""
+        zfr = z_r.transpose(0, 2, 1).reshape(batch, pkeep * q)[:, :n]
+        zfi = z_i.transpose(0, 2, 1).reshape(batch, pkeep * q)[:, :n]
+        return calg.cmul_const((zfr, -zfi), jnp.asarray(cr), jnp.asarray(ci))
+
     def apply(x):
         xr, xi = x
         shape = xr.shape
         xr = xr.reshape(-1, n)
         xi = xi.reshape(-1, n)
         batch = xr.shape[0]
-        # input chirp multiply rides the XLA pad (one fused write of m)
-        yr, yi = calg.pad_last(
-            calg.cmul_const((xr, xi), jnp.asarray(cr), jnp.asarray(ci)),
-            m - n,
-        )
+        yr, yi = prologue(xr, xi)
         z_r, z_i = conv_core(yr, yi)
-        # zf[l2*Q + l1] sits at (l1, l2): transpose, truncate, conj, chirp
-        # (XLA fuses the elementwise tail into the transpose output)
-        zfr = z_r.transpose(0, 2, 1).reshape(batch, pkeep * q)[:, :n]
-        zfi = z_i.transpose(0, 2, 1).reshape(batch, pkeep * q)[:, :n]
-        out_r, out_i = calg.cmul_const(
-            (zfr, -zfi), jnp.asarray(cr), jnp.asarray(ci)
-        )
+        out_r, out_i = epilogue(z_r, z_i, batch)
         return out_r.reshape(shape), out_i.reshape(shape)
 
+    # introspection hooks for the phase-timing tools (perf_bconv_phases)
+    apply.conv_core = conv_core
+    apply.prologue = prologue
+    apply.epilogue = epilogue
+    apply.split = (p, q1, q2, pkeep)
     return apply
