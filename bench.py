@@ -206,7 +206,9 @@ def mxu_flops_per_point(n: int):
         return fac * (p + q) * passes
     if route == "radix":
         r, p, q = fused.choose_rpq(n)
-        fac = 6 if config.radix_variant == "ctwg" else 8
+        # every ctwg* variant (incl. the flat-view ctwgx default) uses the
+        # Gauss 3-multiplication contractions
+        fac = 6 if config.radix_variant.startswith("ctwg") else 8
         return fac * (p + q) * passes
     if route == "large":
         p, q1, q2 = large.choose_pqq(n)

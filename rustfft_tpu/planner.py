@@ -467,13 +467,18 @@ class FftPlannerTpu(_PlannerBase):
                 return recipes.Bluesteins(length, self.design_fft_for_len(m))
             # Huge primes: no single-kernel conv inner exists.  Rader's
             # inner (n-1) usually has awkward factors and falls to the XLA
-            # six-step; a Bluestein inner from the 2^a*3^b family that lands
-            # on a fused Pallas tier wins despite ~2x the points (measured
-            # on v5e: 746497 via Rader + XLA inner = 70 GF/s, while the
-            # large-pipeline tiers run ~750-840 GF/s at comparable m).
+            # six-step or the padded-lane tier; a Bluestein inner from the
+            # 2^a*3^b family that lands on a fused Pallas tier wins despite
+            # ~2x the points (measured on v5e: 746497 via Rader + XLA inner
+            # = 70 GF/s, and via Rader + the large_pad inner the glued
+            # gathers+double-FFT still read 18 GF/s-eq same-run where the
+            # fused 3-kernel bconv read 161 — tools/perf_bconv_phases.py,
+            # 2026-08-19).  Only a *fast aligned* tier on n-1 justifies the
+            # glued Rader route; large_pad/dense-tier inners do not.
             from . import executor
 
-            if executor.pallas_route(inner_len_rader, self.dtype) is None:
+            inner_route = executor.pallas_route(inner_len_rader, self.dtype)
+            if inner_route in (None, "large_pad", "dense"):
                 m = self._routed_bluestein_inner(length)
                 if m is not None:
                     return recipes.Bluesteins(length, self.design_fft_for_len(m))

@@ -578,6 +578,10 @@ def test_pallas_route_table():
         # radix-r pow2 split — the late large_supported branch serves these
         # below large_min on purpose (the alternative is the XLA six-step)
         393216: "large", 327680: "large",
+        # ...and it never shadows the misaligned tiers: lane-misaligned
+        # composites keep large_pad (>= largepad_min_n) or fall through
+        # to the XLA path (large_supported's q1*q2 constraints reject them)
+        78125: "large_pad", 177147: "large_pad", 59049: None,
         # 3*2^16 stays aligned two_stage (q = 3*2^16/256 is a 128-multiple)
         196608: "two_stage",
     }
