@@ -136,10 +136,35 @@ class FftConfig:
     #: Smallest Bluestein/Rader inner length m routed to the two-kernel
     #: radix-structured convolution core (ops/pallas/conv_radix.py) instead
     #: of the dense single-kernel core.  Needs m = r*128*128, r a power of
-    #: two in [2, 16]; at m >= 65536 the dense core's 2*24*(p+q)
-    #: flops/point MXU cost dominates the radix core's one extra HBM
-    #: round-trip.
-    conv_radix_min_m: int = 65536
+    #: two in [2, 16].  Round-4 crossover was 65536; the round-5 flat-view
+    #: conv core moved it down — at m = 32768 the radix core now beats the
+    #: dense core 1.56x (15625 bconv: 8.83 vs 13.81 ms same-run,
+    #: tools/perf_blue_misaligned.py 2026-08-19).
+    conv_radix_min_m: int = 32768
+
+    #: Lane-misaligned hole band (the ~8k..64k composites largepad loses
+    #: at and no fused tier serves): route ODD composites through a
+    #: whole-n fused Bluestein whose inner m = r*16384 rides the radix
+    #: conv core, when the pad ratio m/n stays under
+    #: bconv_misaligned_max_pad.  Measured v5e (same-run,
+    #: tools/perf_blue_misaligned.py 2026-08-19): 15625 264.6 vs XLA
+    #: 199.9, 19683 229.0 vs 204.4, 59049 307.3 vs 251.2 GF/s; recorded
+    #: negatives: even 10000 loses (181.6 vs XLA 268.1 — a pow2 factor
+    #: makes the XLA six-step fast), 16807 at pad 3.90 loses (155.7 vs
+    #: 196.9) — hence the odd gate and the 3.5 pad cap (19683's winning
+    #: 3.33 stays in).  The dense conv core loses everywhere in this band.
+    bconv_misaligned: bool = True
+    bconv_misaligned_min_n: int = 8192
+    bconv_misaligned_max_pad: float = 3.5
+
+    #: Describe the large two-kernel pipeline's I/O arrays 2D ((B*P, Q) /
+    #: (B*Q, P)) instead of 3D — same bytes, blocks, and grids; candidate
+    #: from the round-2 "2D block specs DMA ~25% faster" rule.  MEASURED
+    #: NEGATIVE on v5e (tools/perf_large2d.py, same-run 2026-08-19): 2^20
+    #: 497.7 vs 878.5 GF/s, 2^21 494.8 vs 819.8 — the lower-rank
+    #: descriptions are ~1.7x SLOWER here (the copy-probe rule does not
+    #: transfer to this pipeline's batched grids).  Kept for the record.
+    large_blocks2d: bool = False
 
     #: Permutation gather strategy (Rader/Good-Thomas maps): "kernel"
     #: (in-VMEM 5-phase Benes permutation, ops/pallas/permute.py — the TPU

@@ -33,14 +33,20 @@ Cooley-Tukey factorization — no transpose passes anywhere:
 
 Only l = l2*Q + l1 < n survives the final truncation, so A2 slices the
 DFT_P matrix rows to pkeep = roundup128(ceil(n/Q)) output lanes — for
-m ~ 2.1*n that skips ~half of A2's MXU work and output traffic.  The final
-chirp multiply, conjugation, and truncation ride the XLA transpose of the
-(B, Q, pkeep) result (one fused pass).
+m ~ 2.1*n that skips ~half of A2's MXU work and output traffic.  A2 runs
+the sliced DFT_P as a weights-as-lhs contraction, so its MXU output order
+IS the flat (B, pkeep*Q) layout the truncation wants — the whole XLA
+epilogue (transpose + conj + chirp) fuses into A2's store (round-5:
+whole-plan 19.94 -> 18.87 ms at 746497, +5.4% same-run; the epilogue is
+now one near-stream slice-copy).
 
-HBM traffic per point of m: pad 1 + A 2 + B_conv 2 + A2 ~1.6 + out-
-transpose ~1.6, plus streamed tables (outer twiddle twice, H once) ~3:
-~11 m-volumes vs ~16 for the glued route, and B_conv replaces ~6 of them
-with VMEM-resident work.
+HBM traffic per point of m: pad 1 + A 2 + B_conv 2 + A2 ~1.3 + out-slice
+~1, plus streamed tables (outer twiddle twice, H once) ~3: ~10 m-volumes
+vs ~16 for the glued route, and B_conv replaces ~6 of them with
+VMEM-resident work (the out-chirp table is grid-resident, ~0).  The
+remaining wall is in-VMEM: the core runs ~18 ms where two plain large
+FFTs of m stream in 12.6 — B_conv's chained double FFT does ~2x kernel
+B's VPU/MXU work per tile and does not fully hide behind its DMA.
 """
 from __future__ import annotations
 
@@ -58,7 +64,7 @@ from ...config import config
 from ... import twiddles
 from .. import calg
 from ..bluestein import bluestein_tables
-from .fused import contract_rhs as _contract, resolve_precision, w_split
+from .fused import contract_wlhs, resolve_precision, w_split
 from .large import _kernel_a, _lane_tile, choose_pqq, fftq_sublane
 from .util import i32map
 
@@ -91,21 +97,43 @@ def _kernel_bconv(q1, q2, pt, precision, variant, xr_ref, xi_ref,
 
 
 def _kernel_a2(p, qt, pkeep, precision, xr_ref, xi_ref, wh_ref, wl_ref,
-               or_ref, oi_ref):
-    """Final column stage: (1, qt, P) [l1, k1] -> (1, qt, pkeep) [l1, l2].
+               cr_ref, ci_ref, or_ref, oi_ref):
+    """Final column stage, epilogue fused: (1, qt, P) [l1, k1] ->
+    (1, pkeep, qt) [l2, l1] = out-chirp * conj(DFT_P(x)).
 
-    DFT_P over the lane axis as a plain x @ W contraction (rows = l1 on
-    sublanes, K = the 2P complex-pair lanes) — the natural MXU matmul.
-    The DFT matrix ships with only the pkeep output rows kept.
+    DFT_P over the lane axis with the DFT matrix as *lhs* (rows sliced to
+    the kept l2 outputs): the MXU contraction itself lands l2 on sublanes
+    and l1 on lanes — the exact layout the (B, pkeep*Q)[:, :n] flat output
+    view needs — so the XLA epilogue's (B, Q, pkeep) -> (B, pkeep, Q)
+    transpose pass disappears.  The Bluestein output chirp (host-padded
+    with zeros past n) and the conjugate-of-z fold into the store.
+
+    Measured at 746497 (same-run, largefft control ±0.5%,
+    tools/perf_bconv_phases.py 2026-08-19): standalone pro+epi XLA chain
+    9.24 -> 0.87 ms; whole-plan 19.94 -> 18.87 ms (+5.4%).  The in-plan
+    win is the smaller number — XLA's in-plan pro/epi passes were cheaper
+    than the standalone chain suggested; the remaining wall is the conv
+    core itself (~18 ms vs largefft's 12.6 for the same m).
+
+    The block is the WHOLE (Q, P) plane of one signal (grid over batch
+    only): a (1, pkeep, qt2<Q) out block is 128 strided 4*qt2-byte runs
+    per store and measured ~equal-total at 746497 — whole-q blocks keep
+    the store one contiguous (pkeep, Q) plane.  ~50 MB live at q = 6144
+    under the kernel's own cparams request (bconv_supported checks it).
     """
     xr = xr_ref[:].reshape(qt, p)
     xi = xi_ref[:].reshape(qt, p)
-    xb = jnp.concatenate([xr, xi], axis=1)  # (qt, 2P)
-    d = _contract(
-        xb, wh_ref[:], wl_ref[:], (((1,), (1,)), ((), ())), precision
-    )  # (qt, 2*pkeep) [l1, l2]
-    or_ref[:] = d[:, :pkeep][None]
-    oi_ref[:] = d[:, pkeep:][None]
+    xb = jnp.concatenate([xr, xi], axis=1)  # (Q, 2P)
+    d = contract_wlhs(
+        wh_ref[:], wl_ref[:], xb, (((1,), (1,)), ((), ())), precision
+    )  # (2*pkeep, Q) [l2, l1]
+    dr = d[:pkeep]
+    di = d[pkeep:]
+    cr = cr_ref[:]  # the whole (pkeep, Q) output chirp, VMEM-resident
+    ci = ci_ref[:]
+    # out = chirp * conj(z)
+    or_ref[:] = (dr * cr + di * ci)[None]
+    oi_ref[:] = (dr * ci - di * cr)[None]
 
 
 def _bconv_vmem_units(q: int) -> int:
@@ -117,18 +145,32 @@ def _bconv_vmem_units(q: int) -> int:
     return 20 * q * 128 * 4
 
 
+def _a2_vmem_bytes(p: int, q: int, pkeep: int) -> int:
+    """Peak live f32 bytes in the fused-epilogue kernel A2's whole-q block:
+    2 inputs (q, p), the cat concat+split (~1.5x one input), the (2pk, q)
+    dot output, chirp tables and 2 outputs (pkeep, q) each."""
+    return 4 * (2 * q * p + 2 * q * p + 2 * q * pkeep + 4 * pkeep * q)
+
+
 def bconv_supported(m: int, dtype, n: Optional[int] = None) -> bool:
     """True when the fused 3-kernel Bluestein convolution can serve an
-    inner of length m (c64, large-tier split, B_conv fits VMEM)."""
+    inner of length m (c64, large-tier split, B_conv and the whole-q
+    fused-epilogue A2 fit VMEM)."""
     if np.dtype(dtype) != np.complex64:
         return False
     pqq = choose_pqq(m)
     if pqq is None:
         return False
-    _, q1, q2 = pqq
+    p, q1, q2 = pqq
+    q = q1 * q2
     # the kernel requests its own VMEM (up to the 100M hardware-validated
     # ceiling), so feasibility is judged against that, not the global default
-    return int(1.25 * _bconv_vmem_units(q1 * q2)) <= 100 * 1024 * 1024
+    need = max(
+        int(1.25 * _bconv_vmem_units(q)),
+        # pkeep depends on n (unknown here): p is the conservative bound
+        int(1.25 * _a2_vmem_bytes(p, q, p)),
+    )
+    return need <= 100 * 1024 * 1024
 
 
 def make_bluestein_large_fn(
@@ -156,8 +198,6 @@ def make_bluestein_large_fn(
 
     qt = _lane_tile(q, qt)
     pt = _lane_tile(p, pt)
-    # A2 input blocks carry the full P on lanes; its sublane tile of Q
-    qt2 = min(qt, q)
     if not interpret:
         assert qt % 128 == 0 and pt % 128 == 0 and p % 128 == 0, (
             f"conv-large needs 128-multiple lane tiles; split {pqq}"
@@ -189,6 +229,13 @@ def make_bluestein_large_fn(
 
     # kernel A2 constant: DFT_P rows sliced to the kept l2 outputs
     wk = np.concatenate([wp[:pkeep], wp[p : p + pkeep]], axis=0)  # (2pk, 2P)
+    # fused-epilogue chirp on the output layout: chirp[l2*Q + l1] at
+    # (l2, l1), zero past n (those lanes are sliced away by the caller)
+    cout = np.zeros(pkeep * q, np.complex128)
+    cout[:n] = chirp
+    cout = cout.reshape(pkeep, q)
+    coutr = np.ascontiguousarray(cout.real).astype(rdt)
+    couti = np.ascontiguousarray(cout.imag).astype(rdt)
 
     wp_hi, wp_lo = w_split(wp, precision)
     w1_hi, w1_lo = w_split(w1, precision)
@@ -199,7 +246,9 @@ def make_bluestein_large_fn(
     kernel_bconv = functools.partial(
         _kernel_bconv, q1, q2, pt, precision, variant
     )
-    kernel_a2 = functools.partial(_kernel_a2, p, qt2, pkeep, precision)
+    kernel_a2 = functools.partial(_kernel_a2, p, q, pkeep, precision)
+    # A2's whole-q working set must fit its own cparams request
+    vmem_a2 = int(1.25 * _a2_vmem_bytes(p, q, pkeep))
     # B_conv's two chained sublane FFTs + tables legitimately need more
     # scoped VMEM than the global default (hardware: 71.57M at q=6144 vs
     # the 64M limit — Mosaic OOM); request this kernel's own estimate with
@@ -299,27 +348,30 @@ def make_bluestein_large_fn(
             jnp.asarray(twi_o),
         )
 
-        # ---- kernel A2: DFT_P over lanes, kept outputs only ----
+        # ---- kernel A2: DFT_P over lanes + fused epilogue ----
         z_r, z_i = pl.pallas_call(
             kernel_a2,
-            grid=(q // qt2, batch),
+            grid=(batch,),  # whole-q blocks: contiguous (pkeep, Q) stores
             in_specs=[
-                pl.BlockSpec((1, qt2, p), i32map(lambda qi, b: (b, qi, 0)), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, qt2, p), i32map(lambda qi, b: (b, qi, 0)), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q, p), i32map(lambda b: (b, 0, 0)), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q, p), i32map(lambda b: (b, 0, 0)), memory_space=pltpu.VMEM),
                 const_spec(wk_hi),
                 const_spec(wk_lo),
+                const_spec(coutr),
+                const_spec(couti),
             ],
             out_specs=[
-                pl.BlockSpec((1, qt2, pkeep), i32map(lambda qi, b: (b, qi, 0)), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, qt2, pkeep), i32map(lambda qi, b: (b, qi, 0)), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, pkeep, q), i32map(lambda b: (b, 0, 0)), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, pkeep, q), i32map(lambda b: (b, 0, 0)), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((batch, q, pkeep), jnp.float32),
-                jax.ShapeDtypeStruct((batch, q, pkeep), jnp.float32),
+                jax.ShapeDtypeStruct((batch, pkeep, q), jnp.float32),
+                jax.ShapeDtypeStruct((batch, pkeep, q), jnp.float32),
             ],
             compiler_params=cparams,
             interpret=interpret,
-        )(b_r, b_i, jnp.asarray(wk_hi), jnp.asarray(wk_lo))
+        )(b_r, b_i, jnp.asarray(wk_hi), jnp.asarray(wk_lo),
+          jnp.asarray(coutr), jnp.asarray(couti))
         return z_r, z_i
 
     def prologue(xr, xi):
@@ -330,11 +382,13 @@ def make_bluestein_large_fn(
         )
 
     def epilogue(z_r, z_i, batch):
-        """(B, Q, pkeep) [l1, l2] -> (B, n): transpose, truncate, conj, chirp
-        (XLA fuses the elementwise tail into the transpose output)."""
-        zfr = z_r.transpose(0, 2, 1).reshape(batch, pkeep * q)[:, :n]
-        zfi = z_i.transpose(0, 2, 1).reshape(batch, pkeep * q)[:, :n]
-        return calg.cmul_const((zfr, -zfi), jnp.asarray(cr), jnp.asarray(ci))
+        """(B, pkeep, Q) [l2, l1] -> (B, n): flat view + truncate.  The
+        transpose/conj/chirp all happened inside kernel A2; this is one
+        near-stream slice-copy pass."""
+        return (
+            z_r.reshape(batch, pkeep * q)[:, :n],
+            z_i.reshape(batch, pkeep * q)[:, :n],
+        )
 
     def apply(x):
         xr, xi = x

@@ -255,6 +255,35 @@ def _kernel_b(q1, q2, pt, precision, variant, xr_ref, xi_ref, w1_hi_ref,
     oi_ref[:] = di[None]
 
 
+def _kernel_a_2d(p, qt, precision, xr_ref, xi_ref, wp_hi_ref, wp_lo_ref,
+                 twr_ref, twi_ref, or_ref, oi_ref):
+    """_kernel_a on 2D (p, qt) HBM block descriptions of the same bytes
+    (round-2 rule: 2D block specs DMA ~25% faster than equivalent 3D)."""
+    xb = jnp.concatenate([xr_ref[:], xi_ref[:]], axis=0)  # (2P, qt)
+    a = _contract(
+        xb, wp_hi_ref[:], wp_lo_ref[:], (((0,), (1,)), ((), ())), precision
+    )  # (qt, 2P) [j2, k1]
+    ar = a[:, :p]
+    ai = a[:, p:]
+    twr = twr_ref[:]  # (qt, P) block of the (Q, P) outer twiddle table
+    twi = twi_ref[:]
+    or_ref[:] = ar * twr - ai * twi
+    oi_ref[:] = ar * twi + ai * twr
+
+
+def _kernel_b_2d(q1, q2, pt, precision, variant, xr_ref, xi_ref, w1_hi_ref,
+                 w1_lo_ref, w2_hi_ref, w2_lo_ref, twr_ref, twi_ref,
+                 or_ref, oi_ref):
+    """_kernel_b on 2D (Q, pt) HBM block descriptions of the same bytes."""
+    dr, di = fftq_sublane(
+        xr_ref[:], xi_ref[:], q1, q2, pt,
+        precision, variant, w1_hi_ref[:], w1_lo_ref[:], w2_hi_ref[:],
+        w2_lo_ref[:], twr_ref[:], twi_ref[:],
+    )
+    or_ref[:] = dr
+    oi_ref[:] = di
+
+
 def _lane_tile(dim: int, cap: int) -> int:
     """Largest 128-multiple tile <= cap dividing `dim`, else `dim` itself.
 
@@ -356,6 +385,7 @@ def make_large_fft_fn(
     variant: str = "swap",
     deep_a: Optional[bool] = None,
     gauss: Optional[bool] = None,
+    blocks2d: Optional[bool] = None,
 ) -> Callable:
     """Return fn: Cplx (..., n) -> Cplx (..., n), the two-kernel pipeline.
 
@@ -432,6 +462,10 @@ def make_large_fft_fn(
 
     if gauss is None:
         gauss = config.large_gauss
+    if blocks2d is None:
+        blocks2d = config.large_blocks2d
+    if blocks2d:
+        assert not deep_a and not gauss, "blocks2d: default kernels only"
 
     if deep_a:
         kernel_a = functools.partial(_kernel_a_deep, p, qt, a_radices, precision)
@@ -461,7 +495,65 @@ def make_large_fft_fn(
     def const_spec(w, ndim=2):
         return pl.BlockSpec(w.shape, i32map(lambda *_: (0,) * ndim), memory_space=pltpu.VMEM)
 
+    def call_2d(xr, xi):
+        """Same pipeline with every I/O array described 2D: (B*P, Q) in,
+        (B*Q, P) between and out.  Identical bytes and grids; only the
+        HBM block descriptions change (the round-2 measured rule: 2D
+        block specs DMA ~25% faster than equivalent 3D blocks)."""
+        batch = xr.shape[0]
+        tw_spec = pl.BlockSpec((qt, p), i32map(lambda qi, b: (qi, 0)), memory_space=pltpu.VMEM)
+        a_in = pl.BlockSpec((p, qt), i32map(lambda qi, b: (b, qi)), memory_space=pltpu.VMEM)
+        nq = q // qt
+        a_out = pl.BlockSpec(
+            (qt, p), i32map(lambda qi, b: (b * nq + qi, 0)), memory_space=pltpu.VMEM
+        )
+        a_r, a_i = pl.pallas_call(
+            functools.partial(_kernel_a_2d, p, qt, precision),
+            grid=(nq, batch),  # batch fastest: twiddle block stays put
+            in_specs=[a_in, a_in]
+            + [const_spec(w) for w in a_consts]
+            + [tw_spec, tw_spec],
+            out_specs=[a_out, a_out],
+            out_shape=[
+                jax.ShapeDtypeStruct((batch * q, p), jnp.float32),
+                jax.ShapeDtypeStruct((batch * q, p), jnp.float32),
+            ],
+            compiler_params=cparams_a,
+            interpret=interpret,
+        )(
+            xr.reshape(batch * p, q),
+            xi.reshape(batch * p, q),
+            *[jnp.asarray(w) for w in a_consts],
+            jnp.asarray(twr_o),
+            jnp.asarray(twi_o),
+        )
+
+        b_spec = pl.BlockSpec((q, pt), i32map(lambda pi, b: (b, pi)), memory_space=pltpu.VMEM)
+        out_r, out_i = pl.pallas_call(
+            functools.partial(_kernel_b_2d, q1, q2, pt, precision, variant),
+            grid=(p // pt, batch),
+            in_specs=[b_spec, b_spec]
+            + [const_spec(w) for w in b_consts]
+            + [const_spec(twr_i), const_spec(twi_i)],
+            out_specs=[b_spec, b_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((batch * q, p), jnp.float32),
+                jax.ShapeDtypeStruct((batch * q, p), jnp.float32),
+            ],
+            compiler_params=cparams,
+            interpret=interpret,
+        )(
+            a_r,
+            a_i,
+            *[jnp.asarray(w) for w in b_consts],
+            jnp.asarray(twr_i),
+            jnp.asarray(twi_i),
+        )
+        return out_r.reshape(batch, n), out_i.reshape(batch, n)
+
     def call(xr, xi):
+        if blocks2d:
+            return call_2d(xr, xi)
         batch = xr.shape[0]
 
         # ---- kernel A: (B, P, Q) -> (B, Q, P), twiddled ----

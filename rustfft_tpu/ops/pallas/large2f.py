@@ -197,6 +197,67 @@ def _kernel_a12(p1, p2, qt3, direction, precision, xr_ref, xi_ref,
     oi_ref[:] = jnp.stack(out_i, axis=0)[None]
 
 
+def _kernel_a12_2d(p1, p2, qt3, direction, precision, xr_ref, xi_ref,
+                   wp_hi_ref, wp_lo_ref, wos_r_ref, wos_i_ref,
+                   wob_r_ref, wob_i_ref, wm_r_ref, wm_i_ref,
+                   or_ref, oi_ref):
+    """_kernel_a12 on reduced-rank HBM block descriptions: input 2D
+    (p1*p2, qt3) blocks of the (B*P1*P2, Q) view, output 3D (p2, qt3, p1)
+    blocks of the (B*P2, Q, P1) view (round-5: lower-rank block specs DMA
+    faster — the flat-view rule applied to the large2f tier)."""
+    # sublane-dim split (lane dim untouched) is legal in VMEM
+    xr = jnp.swapaxes(xr_ref[:].reshape(p1, p2, qt3), 0, 1)  # (P2, P1, qt3)
+    xi = jnp.swapaxes(xi_ref[:].reshape(p1, p2, qt3), 0, 1)
+    xb = jnp.concatenate([xr, xi], axis=1)  # (P2, 2*P1, qt3)
+    a = _contract(
+        xb, wp_hi_ref[:], wp_lo_ref[:], (((1,), (1,)), ((), ())), precision
+    )  # (P2, qt3, 2*P1) [j2, j3, k1]
+
+    wob_r = wob_r_ref[:]
+    wob_i = wob_i_ref[:]
+    wos_r = wos_r_ref[:]
+    wos_i = wos_i_ref[:]
+    vr_l, vi_l = [], []
+    for j2 in range(p2):
+        sr = wos_r[j2 : j2 + 1, :]  # (1, P1)
+        si = wos_i[j2 : j2 + 1, :]
+        twr = sr * wob_r - si * wob_i  # (qt3, P1)
+        twi = sr * wob_i + si * wob_r
+        ar = a[j2, :, :p1]
+        ai = a[j2, :, p1:]
+        vr_l.append(ar * twr - ai * twi)
+        vi_l.append(ar * twi + ai * twr)
+
+    br_l, bi_l = _vpu_fft_list(vr_l, vi_l, direction)
+
+    wm_r = wm_r_ref[:]
+    wm_i = wm_i_ref[:]
+    out_r, out_i = [], []
+    for k2 in range(p2):
+        twr = wm_r[:, k2 : k2 + 1]  # (qt3, 1)
+        twi = wm_i[:, k2 : k2 + 1]
+        out_r.append(br_l[k2] * twr - bi_l[k2] * twi)
+        out_i.append(br_l[k2] * twi + bi_l[k2] * twr)
+    or_ref[:] = jnp.stack(out_r, axis=0)  # (P2, qt3, P1)
+    oi_ref[:] = jnp.stack(out_i, axis=0)
+
+
+def _kernel_q_2d(q1, q2, pt, precision, xr_ref, xi_ref, w1_hi_ref,
+                 w1_lo_ref, w2_hi_ref, w2_lo_ref, twr_ref, twi_ref,
+                 or_ref, oi_ref):
+    """large3._kernel_q on reduced-rank blocks: 3D (1, Q, pt) input of the
+    (B*P2, Q, P1) view, 2D (Q, pt) output of the (B*Q, P2*P1) view (the
+    k2 digit still rides the out-spec lane offset)."""
+    q = q1 * q2
+    dr, di = _large.fftq_sublane(
+        xr_ref[:].reshape(q, pt), xi_ref[:].reshape(q, pt), q1, q2, pt,
+        precision, "swap", w1_hi_ref[:], w1_lo_ref[:], w2_hi_ref[:],
+        w2_lo_ref[:], twr_ref[:], twi_ref[:],
+    )
+    or_ref[:] = dr
+    oi_ref[:] = di
+
+
 def _pick_qt3(p1: int, p2: int, q: int) -> int:
     """Q-tile for the fused column stage: largest divisor of Q whose
     ~10-live-copy (P1, P2, qt3) f32-pair working set fits the VMEM budget."""
@@ -216,6 +277,7 @@ def make_large2f_fft_fn(
     precision=None,
     pt: int = 128,
     qt3: Optional[int] = None,
+    blocks2d: Optional[bool] = None,
 ) -> Callable:
     """Return fn: Cplx (..., n) -> Cplx (..., n), the fused 2-kernel
     pipeline.  split = (P1, P2, q1, q2, Q); qt3 tiles pass 1's j3 axis,
@@ -258,6 +320,8 @@ def make_large2f_fft_fn(
     twr_i = np.ascontiguousarray(tw_inner.real).astype(rdt)
     twi_i = np.ascontiguousarray(tw_inner.imag).astype(rdt)
 
+    if blocks2d is None:
+        blocks2d = config.large_blocks2d
     kernel_a12 = functools.partial(
         _kernel_a12, p1, p2, qt3, direction, precision
     )
@@ -277,7 +341,85 @@ def make_large2f_fft_fn(
             w.shape, i32map(lambda *_: (0,) * ndim), memory_space=pltpu.VMEM
         )
 
+    def call_2d(xr, xi):
+        """Reduced-rank twin of call(): pass-1 input 2D (B*P1*P2, Q),
+        intermediate 3D (B*P2, Q, P1), output 2D (B*Q, P2*P1).  Same
+        bytes, grids, and math; only HBM block ranks change."""
+        batch = xr.shape[0]
+
+        in_spec1 = pl.BlockSpec(
+            (p1 * p2, qt3), i32map(lambda qi, b: (b, qi)),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec1 = pl.BlockSpec(
+            (p2, qt3, p1), i32map(lambda qi, b: (b, qi, 0)),
+            memory_space=pltpu.VMEM,
+        )
+        wob_spec = pl.BlockSpec(
+            (qt3, p1), i32map(lambda qi, b: (qi, 0)), memory_space=pltpu.VMEM
+        )
+        wm_spec = pl.BlockSpec(
+            (qt3, p2), i32map(lambda qi, b: (qi, 0)), memory_space=pltpu.VMEM
+        )
+        b_r, b_i = pl.pallas_call(
+            functools.partial(_kernel_a12_2d, p1, p2, qt3, direction, precision),
+            grid=(q // qt3, batch),  # batch fastest: DFT table stays put
+            in_specs=[
+                in_spec1, in_spec1, cspec(wp_hi), cspec(wp_lo),
+                cspec(wos_r), cspec(wos_i),
+                wob_spec, wob_spec, wm_spec, wm_spec,
+            ],
+            out_specs=[out_spec1, out_spec1],
+            out_shape=[
+                jax.ShapeDtypeStruct((batch * p2, q, p1), jnp.float32)
+            ] * 2,
+            compiler_params=cparams1,
+            interpret=interpret,
+        )(
+            xr.reshape(batch * p1 * p2, q),
+            xi.reshape(batch * p1 * p2, q),
+            jnp.asarray(wp_hi), jnp.asarray(wp_lo),
+            jnp.asarray(wos_r), jnp.asarray(wos_i),
+            jnp.asarray(wob_r), jnp.asarray(wob_i),
+            jnp.asarray(wm_r), jnp.asarray(wm_i),
+        )
+
+        in_spec3 = pl.BlockSpec(
+            (1, q, pt),
+            i32map(lambda c2, pi, b: (b * p2 + c2, 0, pi)),
+            memory_space=pltpu.VMEM,
+        )
+        lanes_per_k2 = p1 // pt
+        out_spec3 = pl.BlockSpec(
+            (q, pt),
+            i32map(lambda c2, pi, b: (b, c2 * lanes_per_k2 + pi)),
+            memory_space=pltpu.VMEM,
+        )
+        out_r, out_i = pl.pallas_call(
+            functools.partial(_kernel_q_2d, q1, q2, pt, precision),
+            grid=(p2, p1 // pt, batch),
+            in_specs=[
+                in_spec3, in_spec3,
+                cspec(w1_hi), cspec(w1_lo), cspec(w2_hi), cspec(w2_lo),
+                cspec(twr_i), cspec(twi_i),
+            ],
+            out_specs=[out_spec3, out_spec3],
+            out_shape=[
+                jax.ShapeDtypeStruct((batch * q, p2 * p1), jnp.float32)
+            ] * 2,
+            compiler_params=cparams,
+            interpret=interpret,
+        )(
+            b_r, b_i,
+            jnp.asarray(w1_hi), jnp.asarray(w1_lo),
+            jnp.asarray(w2_hi), jnp.asarray(w2_lo),
+            jnp.asarray(twr_i), jnp.asarray(twi_i),
+        )
+        return out_r.reshape(batch, n), out_i.reshape(batch, n)
+
     def call(xr, xi):
+        if blocks2d:
+            return call_2d(xr, xi)
         batch = xr.shape[0]
 
         # ---- pass 1 (fused): (B, P1, P2, Q) -> (B, P2, Q, P1) ----

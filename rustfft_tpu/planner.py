@@ -339,6 +339,10 @@ class FftPlannerTpu(_PlannerBase):
             executor._pallas_mode(),
             config.pallas_vmem_limit,
             config.dense_dft_max,
+            config.bconv_misaligned,
+            config.bconv_misaligned_min_n,
+            config.bconv_misaligned_max_pad,
+            config.conv_radix_min_m,
         )
 
     def design_fft_with_factors(
@@ -356,7 +360,47 @@ class FftPlannerTpu(_PlannerBase):
             m = self._aligned_conv_inner(length)
             if m is not None:
                 return recipes.Bluesteins(length, self.design_fft_for_len(m))
+        # Lane-misaligned hole band (~8k..64k: largepad loses below 65536,
+        # q < 8 splits fail Mosaic): ODD composites with no whole-n Pallas
+        # tier ride a fused Bluestein onto the radix conv core — the same
+        # trick that won at 746497, at ~2-3.5x the points.  Measured wins
+        # 15625/19683/59049 (+12..+32% over XLA); even sizes and pad > 3.5
+        # are recorded negatives (see config.bconv_misaligned*).
+        if (
+            self._on_tpu()
+            and config.bconv_misaligned
+            and length % 2 == 1
+            and length >= config.bconv_misaligned_min_n
+        ):
+            from . import executor
+
+            if executor.pallas_route(length, self.dtype) is None:
+                m = self._radix_conv_inner(length)
+                if m is not None:
+                    return recipes.Bluesteins(length, self.design_fft_for_len(m))
         return self._design_composite(length, factors)
+
+    def _radix_conv_inner(self, length: int) -> Optional[int]:
+        """Smallest radix-conv-core Bluestein inner m = r*16384 >= 2n-1
+        within the measured pad cap, or None.  The dense conv core is
+        deliberately excluded: it measured below XLA at every hole-band
+        size (tools/perf_blue_misaligned.py)."""
+        from .ops.pallas import conv, conv_radix
+
+        min_inner = 2 * length - 1
+        for r in (2, 4, 8, 16):
+            m = r * 16384
+            if m < min_inner:
+                continue
+            if (
+                m <= config.bconv_misaligned_max_pad * length
+                and m >= config.conv_radix_min_m
+                and conv_radix.radix_conv_supported(m, self.dtype)
+                and conv.conv_supported(m, self.dtype)
+            ):
+                return m
+            return None
+        return None
 
     @staticmethod
     def _on_tpu() -> bool:
@@ -396,10 +440,31 @@ class FftPlannerTpu(_PlannerBase):
         # 102 vs m=3072 (24x128) 107 GF/s; n=7919: m=15872 (124x128) 189 vs
         # m=16384 (128x128, both stages full-width K=256) 211.  MXU-shaped
         # splits beat raw point count; keep the 2^a*3^b family.
+        #
+        # Round-5 core-preference rule (measured same-run, 2026-08-19):
+        # above 32768 the radix conv core beats the dense core decisively
+        # (m=32768: prime path 347.5 vs 191.9 GF/s; bconv 264.6 vs 169.2),
+        # and a LARGER radix-core m beats a smaller dense-core m (19683:
+        # m=65536 radix 229.0 vs m=41472 dense 142.5) — so prefer the
+        # smallest radix-core-capable candidate once past the small-m
+        # dense band, falling back to the smallest dense-supported m.
+        from .ops.pallas import conv_radix
+
+        best_dense = None
         for m in sorted(candidates):
-            if conv.conv_supported(m, self.dtype):
+            radix_ok = (
+                m >= config.conv_radix_min_m
+                and conv_radix.radix_conv_supported(m, self.dtype)
+                and conv.conv_supported(m, self.dtype)
+            )
+            if radix_ok:
                 return m
-        return None
+            if conv.conv_supported(m, self.dtype):
+                if m < 32768:
+                    return m
+                if best_dense is None:
+                    best_dense = m
+        return best_dense
 
     def _design_composite(
         self, length: int, factors: PrimeFactors

@@ -746,16 +746,19 @@ def test_large2f_matches_oracle():
     chain into kernel Q and land natural order, both directions."""
     from rustfft_tpu.ops.pallas import large2f
 
-    for split, batch, direction in (
-        ((8, 2, 4, 4, 16), 3, FftDirection.FORWARD),
-        ((8, 4, 4, 4, 16), 2, FftDirection.FORWARD),
-        ((8, 2, 4, 4, 16), 2, FftDirection.INVERSE),
+    for split, batch, direction, b2d in (
+        ((8, 2, 4, 4, 16), 3, FftDirection.FORWARD, False),
+        ((8, 4, 4, 4, 16), 2, FftDirection.FORWARD, False),
+        ((8, 2, 4, 4, 16), 2, FftDirection.INVERSE, False),
+        # reduced-rank HBM block descriptions (round-5 flat-view rule)
+        ((8, 2, 4, 4, 16), 3, FftDirection.FORWARD, True),
+        ((8, 4, 4, 4, 16), 2, FftDirection.INVERSE, True),
     ):
         p1, p2, q1, q2, q = split
         n = p1 * p2 * q
         fn = large2f.make_large2f_fft_fn(
             n, direction, np.complex64, split=split, interpret=True,
-            pt=8, qt3=16,
+            pt=8, qt3=16, blocks2d=b2d,
         )
         sig = random_signal(batch * n, dtype=np.complex64, seed=n).reshape(
             batch, n

@@ -217,3 +217,50 @@ def test_plan_cache_tracks_config(monkeypatch):
     assert planner.plan_fft_forward(4096) is on_plan
     monkeypatch.setattr(config, "use_pallas", "off")
     assert planner.plan_fft_forward(4096) is off_plan
+
+
+def test_misaligned_hole_bconv_design(monkeypatch):
+    """Lane-misaligned hole band (~8k..64k) on TPU: ODD composites with no
+    whole-n Pallas tier ride a fused Bluestein onto the radix conv core
+    (measured wins 15625/19683/59049; negatives: even 10000, pad-3.9
+    16807 — tools/perf_blue_misaligned.py 2026-08-19)."""
+    from rustfft_tpu import executor
+
+    monkeypatch.setattr(executor, "_pallas_mode", lambda: "tpu")
+    planner = FftPlannerTpu()
+    for n, m in ((15625, 32768), (19683, 65536), (59049, 131072)):
+        recipe = planner.design_fft_for_len(n)
+        assert isinstance(recipe, recipes.Bluesteins), (n, recipe)
+        assert recipe.inner.length == m, (n, recipe.inner.length)
+    # even composites keep the factored route (XLA six-step is fast there)
+    assert isinstance(
+        planner.design_fft_for_len(10000), recipes.MixedRadix
+    )
+    # pad ratio > 3.5 keeps the factored route (16807: m=65536 pad 3.90)
+    assert isinstance(
+        planner.design_fft_for_len(16807), recipes.MixedRadix
+    )
+    # above the hole the padded-lane tier still owns misaligned sizes
+    assert executor.pallas_route(78125, np.complex64, "tpu") == "large_pad"
+    assert isinstance(
+        planner.design_fft_for_len(78125), recipes.MixedRadix
+    )
+
+
+def test_aligned_conv_inner_prefers_radix_core(monkeypatch):
+    """Above the small-m dense band the planner picks the smallest
+    radix-core-capable Bluestein inner over a smaller dense-core one
+    (measured: m=65536 radix 229.0 vs m=41472 dense 142.5 GF/s at 19683;
+    prime path m=32768 radix 347.5 vs dense 191.9)."""
+    from rustfft_tpu import executor
+
+    monkeypatch.setattr(executor, "_pallas_mode", lambda: "tpu")
+    planner = FftPlannerTpu()
+    # small band unchanged: smallest conv-supported 2^a*3^b stays
+    assert planner._aligned_conv_inner(1234) == 3072
+    # prime 20011: 2n-1 = 40021; 41472/49152 are dense-core-only
+    # candidates, 65536 = 4*16384 is the radix-core pick
+    assert planner._aligned_conv_inner(20011) == 65536
+    recipe = planner.design_fft_for_len(20011)
+    assert isinstance(recipe, recipes.Bluesteins)
+    assert recipe.inner.length == 65536

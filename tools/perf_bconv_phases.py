@@ -72,13 +72,13 @@ def main():
 
         def pro_epi(x):
             """Chainable prologue + epilogue (slice to the A2 out shape in
-            between): isolates the two XLA passes around the 3-kernel core
-            (the epilogue includes the (B, Q, pkeep) transpose whose cost
-            vs a plain copy decides whether fusing it into A2 pays)."""
+            between): isolates the two XLA passes around the 3-kernel core.
+            Round-5 shapes: epilogue input is the fused-A2 (B, pkeep, Q)
+            layout (transpose/conj/chirp now live inside the kernel)."""
             yr, yi = fused.prologue(*x)
             b = yr.shape[0]
-            zr = yr.reshape(b, q, p)[:, :, :pkeep]
-            zi = yi.reshape(b, q, p)[:, :, :pkeep]
+            zr = yr[:, : pkeep * q].reshape(b, pkeep, q)
+            zi = yi[:, : pkeep * q].reshape(b, pkeep, q)
             return fused.epilogue(zr, zi, b)
 
         rows = [

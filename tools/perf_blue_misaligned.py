@@ -52,26 +52,47 @@ def main():
         gf = lambda t: 5.0 * batch * n * math.log2(n) / t / 1e9  # noqa: E731
         print(f"n={n} batch={batch}", flush=True)
 
+        # true XLA baseline: disable the round-5 hole-band routing so the
+        # planner takes the factored (XLA six-step) route
+        old_mis = config.bconv_misaligned
         try:
+            config.bconv_misaligned = False
             plan = FftPlanner().plan_fft_forward(n)
             t = time_fn(plan.raw_fn, re, im)
             print(f"  xla route     : {t*1e3:8.3f} ms  {gf(t):7.1f} GF/s",
                   flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"  xla route     : FAILED {str(e)[:200]}", flush=True)
+        finally:
+            config.bconv_misaligned = old_mis
 
         min_inner = 2 * n - 1
-        ms = [r * 16384 for r in (2, 4, 8, 16) if r * 16384 >= min_inner][:2]
+        # candidates: the planner's smallest aligned 2^a*3^b inner (dense
+        # conv core) + the smallest radix-structured r*16384 inner (radix
+        # conv core) — A/B both cores where the size admits both
+        from rustfft_tpu.planner import FftPlannerTpu
+
+        planner_m = FftPlannerTpu(np.complex64)._aligned_conv_inner(n)
+        radix_ms = [r * 16384 for r in (2, 4, 8, 16) if r * 16384 >= min_inner]
+        rows = []
+        if planner_m is not None:
+            rows.append((planner_m, "dense"))
+        for m in radix_ms[:1]:
+            if (m, "dense") not in rows:
+                rows.append((m, "dense"))
+            rows.append((m, "radix"))
         old_min = config.conv_radix_min_m
-        for m in ms:
+        for m, core in rows:
             try:
-                config.conv_radix_min_m = min(old_min, m)
+                config.conv_radix_min_m = min(old_min, m) if core == "radix" \
+                    else max(old_min, m + 1)
                 fn = conv.make_bluestein_fn(n, m, d, np.complex64)
                 t = time_fn(fn, re, im)
-                print(f"  bconv m={m:6d}: {t*1e3:8.3f} ms  {gf(t):7.1f} GF/s"
-                      f"  (pad {m/n:.2f}x)", flush=True)
+                print(f"  bconv m={m:6d} {core:5s}: {t*1e3:8.3f} ms"
+                      f"  {gf(t):7.1f} GF/s  (pad {m/n:.2f}x)", flush=True)
             except Exception as e:  # noqa: BLE001
-                print(f"  bconv m={m:6d}: FAILED {str(e)[:200]}", flush=True)
+                print(f"  bconv m={m:6d} {core:5s}: FAILED {str(e)[:200]}",
+                      flush=True)
             finally:
                 config.conv_radix_min_m = old_min
 
