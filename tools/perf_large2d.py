@@ -31,6 +31,8 @@ def main():
     rng = np.random.default_rng(0)
     d = FftDirection.FORWARD
 
+    from rustfft_tpu.ops.pallas import large2f
+
     sizes = [int(a) for a in sys.argv[1:]] or [1 << 20, 1 << 21]
     for n in sizes:
         batch = max(2, (1 << 25) // n)
@@ -41,10 +43,17 @@ def main():
             (rng.standard_normal((batch, n)) * 1e-30).astype(np.float32)
         )
         gf = lambda t: 5.0 * batch * n * math.log2(n) / t / 1e9  # noqa: E731
-        print(f"n={n} batch={batch} split={large.choose_pqq(n)}", flush=True)
+        use_2f = large2f.large2f_supported(n, np.complex64)
+        split = large2f.choose_split2f(n) if use_2f else large.choose_pqq(n)
+        print(f"n={n} batch={batch} 2f={use_2f} split={split}", flush=True)
         for label, b2 in (("3d", False), ("2d", True)):
             try:
-                fn = large.make_large_fft_fn(n, d, np.complex64, blocks2d=b2)
+                if use_2f:
+                    fn = large2f.make_large2f_fft_fn(
+                        n, d, np.complex64, blocks2d=b2
+                    )
+                else:
+                    fn = large.make_large_fft_fn(n, d, np.complex64, blocks2d=b2)
                 t = time_fn(fn, re, im)
                 print(f"  blocks {label}: {t*1e3:8.3f} ms  {gf(t):7.1f} GF/s",
                       flush=True)
