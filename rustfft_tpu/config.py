@@ -191,6 +191,13 @@ class FftConfig:
     #: of the Benes perms — the gathers/transposes and DMA overlap are.
     permute_select: str = "fma"
 
+    #: Fuse the final Rader epilogue concat into the conv core's pass 2:
+    #: the out_perm table is rolled one position (the Benes network does
+    #: the DC-first layout shift for free) and pass 2 emits the complete
+    #: (batch, p) output, DC bin included — the XLA concat (measured
+    #: ~1.5 ms of the 9.4 ms 65537 plan at batch 512) disappears.
+    rader_full_out: bool = True
+
     #: MXU precision inside Pallas kernels.  "bf16x3" = manual 3-pass bf16
     #: emulation (f32-grade accuracy at half the passes of HIGHEST, which
     #: Mosaic would otherwise use; Mosaic rejects Precision.HIGH).

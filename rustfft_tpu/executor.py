@@ -278,7 +278,7 @@ def build(
         config.dense_fallback_max_n, config.use_bconv_fused,
         config.large3f_min_n, config.dense_min_n, config.pallas_in_place,
         config.radix_variant, config.two_stage_variant, config.large_gauss,
-        config.permute_select,
+        config.permute_select, config.rader_full_out,
     )
     fn = _CACHE.get(key)
     if fn is None:

@@ -283,15 +283,18 @@ def make_raders_fn(
     kernel_perms = (
         config.rader_gather == "kernel" and permute.permute_supported(m, dtype)
     )
+    full_out = False
     if use_radix and kernel_perms:
         # x0_add/emit_sum fuse the Rader epilogue fixups into the two
-        # passes: the only XLA op left after the core is the DC concat
-        # (measured 3.1ms of sum+add+concat at (512, 65537) before).
+        # passes; full_out additionally folds the DC-first concat into
+        # pass 2's rolled out-perm (measured ~1.5 ms of XLA concat at
+        # (512, 65537)) — with it on, the core IS the whole transform.
+        full_out = bool(config.rader_full_out)
         core = conv_radix.make_radix_conv_fn(
             m, direction, dtype, h=b_fft, conj_out=True,
             interpret=interpret, batch_tile=batch_tile,
             in_perm=perm_in - 1, out_perm=inv_gather,
-            x0_add=True, emit_sum=True,
+            x0_add=True, emit_sum=True, full_out=full_out,
         )
         fused_perms = True
     else:
@@ -327,12 +330,14 @@ def make_raders_fn(
         if fused_perms:
             # core applies both permutations, the conj, AND the Rader
             # fixups in-kernel: pass 2 adds x0 to every bin, pass 1 emits
-            # the exact f32 sum of x[1:] for the DC bin — the epilogue is
-            # one concat
+            # the exact f32 sum of x[1:] for the DC bin (out[0] = x[0] +
+            # A[0] = x[0] + sum(x[1:]), raders_algorithm.rs:202; A[0] is
+            # permutation-invariant)
             x0 = (xr[..., :1], xi[..., :1])
+            if full_out:
+                # pass 2 emits the complete DC-first (..., p) output
+                return core((xr[..., 1:], xi[..., 1:]), const=x0)
             rest, sums = core((xr[..., 1:], xi[..., 1:]), const=x0)
-            # out[0] = x[0] + A[0] = x[0] + sum(x[1:])  (raders_algorithm
-            # .rs:202; A[0] is permutation-invariant)
             out0 = (x0[0] + sums[0], x0[1] + sums[1])
             return calg.concat_last(out0, rest)
         # out[0] = x[0] + A[0] = sum(x)  (A[0] = sum over permuted inputs)

@@ -69,8 +69,9 @@ def radix_conv_supported(m: int, dtype) -> bool:
 
 def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
             conj_out, has_post, has_inperm, has_outperm, has_sum, has_addc,
-            flat_in, flat_out,
-            xr_ref, xi_ref, x0r_ref, x0i_ref, wp_hi_ref, wp_lo_ref,
+            flat_in, flat_out, full_out,
+            xr_ref, xi_ref, x0r_ref, x0i_ref, s0r_ref, s0i_ref,
+            wp_hi_ref, wp_lo_ref,
             wq_hi_ref, wq_lo_ref, t1r_ref, t1i_ref, t2r_ref, t2i_ref,
             prer_ref, prei_ref, hr_ref, hi_ref, postr_ref, posti_ref,
             i1_ref, i2_ref, i3_ref, i4_ref, i5_ref,
@@ -103,6 +104,16 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
     the Rader "+x0 to every bin" fixup) into the pass — the add commutes
     with the output permutation, so it lands after conj and before the
     Benes phases.
+
+    full_out (pass 2): emit the COMPLETE (tb, m+1) Rader output — the
+    final XLA epilogue concat (measured ~1.5 ms of the 9.4 ms plan at
+    65537 x 512) vanishes into the pass.  The "+1 position shift" of the
+    DC-first output layout is folded into the out_perm TABLE itself
+    (np.roll of the gather indices — an arbitrary permutation costs the
+    Benes network nothing), which parks the one element destined for
+    position m at grid slot 0; the kernel then issues two extra ALIGNED
+    single-lane stores: slot m gets the parked value, slot 0 gets the DC
+    bin x0 + sum(x[1:]) from the s0 input (pass 1's emit_sum output).
     """
     m1 = r * p
     if has_sum:
@@ -264,6 +275,15 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
                     [st_r[:, g * g_sz + u, :] for u in range(g_sz)], axis=1)
                 oi_ref[:, lo : lo + g_sz * p] = jnp.concatenate(
                     [st_i[:, g * g_sz + u, :] for u in range(g_sz)], axis=1)
+            if full_out:
+                # the rolled out_perm parked position-m's value at grid
+                # slot 0 (stored above by the g == 0 row store); move it to
+                # its aligned home and drop the DC bin into slot 0 — both
+                # single-lane 128-aligned stores (m % 128 == 0)
+                or_ref[:, w_rows * p : w_rows * p + 1] = st_r[:, 0, :1]
+                oi_ref[:, w_rows * p : w_rows * p + 1] = st_i[:, 0, :1]
+                or_ref[:, :1] = x0r_ref[:, :1] + s0r_ref[:, :1]
+                oi_ref[:, :1] = x0i_ref[:, :1] + s0i_ref[:, :1]
         else:
             for s in range(tb):
                 or_ref[s * w_rows:(s + 1) * w_rows, :] = perm_r[s]
@@ -307,7 +327,7 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
 def _make_pass(
     m, r, p, q, direction, precision, interpret, p_in, pre, h, conj_out, post,
     batch_tile=None, in_perm=None, out_perm=None, emit_sum=False,
-    add_const=False,
+    add_const=False, full_out=False,
 ):
     """Build one vpur conv pass: fn(xr, xi) on (batch, p_in*r*q) 2D input,
     returning (batch, m) natural-order arrays.
@@ -330,6 +350,8 @@ def _make_pass(
         assert q == 128 and p_in == p and pre is None
     if has_outperm:
         assert p == 128 and h is None and post is None
+    if full_out:
+        assert has_outperm and has_addc and q == 128
     # Round-5 flat I/O: describe the pass's in/out as (batch, n) whole-
     # signal rows (the fast DMA class — CLAUDE.md round-5 rule) and do the
     # digit relayouts in VMEM (lane-slice stacks in, per-k2 slice-stores
@@ -337,8 +359,9 @@ def _make_pass(
     flat_in = q == 128
     flat_out = q == 128
     # aliasing is shape-legal when in and out are both the flat (batch, m)
-    # view (no input trim)
-    in_place = flat_in and flat_out and p_in == p and config.pallas_in_place
+    # view (no input trim); full_out's (batch, m+1) output breaks it
+    in_place = (flat_in and flat_out and p_in == p and not full_out
+                and config.pallas_in_place)
     idt = np.int32
     dummy_i = np.zeros((1, 1), idt)
     dummy_f = np.zeros((1, 1), rdt)
@@ -412,7 +435,7 @@ def _make_pass(
 
     w_rows = r * p  # (W, Z) rows of one signal, q == Z == 128
 
-    def call(xr, xi, x0=None):
+    def call(xr, xi, x0=None, sums=None):
         batch = xr.shape[0]
         tb = _tb(batch)
         pad_b = (-batch) % tb
@@ -423,27 +446,34 @@ def _make_pass(
         k = functools.partial(
             _kernel, r, p, q, tb, p_in, precision, direction, has_pre,
             has_h, conj_out, has_post, has_inperm, has_outperm, has_sum,
-            has_addc, flat_in, flat_out,
+            has_addc, flat_in, flat_out, full_out,
+        )
+
+        def bcast128(v):
+            b = jnp.broadcast_to(
+                v.reshape(batch, 1).astype(jnp.float32), (batch, 128)
+            )
+            if pad_b:
+                b = jnp.pad(b, ((0, pad_b), (0, 0)))
+            return b
+
+        bspec128 = pl.BlockSpec(
+            (tb, 128), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM
         )
         if has_addc:
             assert x0 is not None
-            x0r = jnp.broadcast_to(
-                x0[0].reshape(batch, 1).astype(jnp.float32), (batch, 128)
-            )
-            x0i = jnp.broadcast_to(
-                x0[1].reshape(batch, 1).astype(jnp.float32), (batch, 128)
-            )
-            if pad_b:
-                x0r = jnp.pad(x0r, ((0, pad_b), (0, 0)))
-                x0i = jnp.pad(x0i, ((0, pad_b), (0, 0)))
-            x0_arrs = [x0r, x0i]
-            x0_specs = [pl.BlockSpec(
-                (tb, 128), i32map(lambda i: (i, 0)),
-                memory_space=pltpu.VMEM,
-            )] * 2
+            x0_arrs = [bcast128(x0[0]), bcast128(x0[1])]
+            x0_specs = [bspec128] * 2
         else:
             x0_arrs = [jnp.zeros((1, 1), jnp.float32)] * 2
             x0_specs = None  # filled below once cspec exists
+        if full_out:
+            assert sums is not None
+            s0_arrs = [bcast128(sums[0]), bcast128(sums[1])]
+            s0_specs = [bspec128] * 2
+        else:
+            s0_arrs = [jnp.zeros((1, 1), jnp.float32)] * 2
+            s0_specs = None
         if flat_in:
             in_w = w_rows * q if has_inperm else p_in * r * q
             in_bspec = pl.BlockSpec(
@@ -467,12 +497,13 @@ def _make_pass(
             xr2 = xr.reshape(bpad * p_in, r * q)
             xi2 = xi.reshape(bpad * p_in, r * q)
         if flat_out:
+            out_w = m + 1 if full_out else m
             out_bspec = pl.BlockSpec(
-                (tb, m), i32map(lambda i: (i, 0)),
+                (tb, out_w), i32map(lambda i: (i, 0)),
                 memory_space=pltpu.VMEM,
             )
             out_shape = [
-                jax.ShapeDtypeStruct((bpad, m), jnp.float32)
+                jax.ShapeDtypeStruct((bpad, out_w), jnp.float32)
             ] * 2
         elif has_outperm:
             out_bspec = pl.BlockSpec(
@@ -499,6 +530,8 @@ def _make_pass(
 
         if x0_specs is None:
             x0_specs = [cspec(w) for w in x0_arrs]
+        if s0_specs is None:
+            s0_specs = [cspec(w) for w in s0_arrs]
         out_specs = [out_bspec, out_bspec]
         if has_sum:
             sum_bspec = pl.BlockSpec(
@@ -513,7 +546,7 @@ def _make_pass(
         outs = pl.pallas_call(
             k,
             grid=(bpad // tb,),
-            in_specs=[in_bspec, in_bspec] + x0_specs
+            in_specs=[in_bspec, in_bspec] + x0_specs + s0_specs
             + [cspec(w) for w in consts],
             out_specs=out_specs,
             out_shape=out_shape,
@@ -522,11 +555,12 @@ def _make_pass(
                 vmem_limit_bytes=max(config.pallas_vmem_limit, 112 * 2**20)
             ),
             interpret=interpret,
-        )(xr2, xi2, *x0_arrs, *[jnp.asarray(w) for w in consts])
+        )(xr2, xi2, *x0_arrs, *s0_arrs, *[jnp.asarray(w) for w in consts])
         out_r, out_i = outs[0], outs[1]
+        res_w = m + 1 if full_out else m
         res = (
-            out_r.reshape(bpad, m)[:batch],
-            out_i.reshape(bpad, m)[:batch],
+            out_r.reshape(bpad, res_w)[:batch],
+            out_i.reshape(bpad, res_w)[:batch],
         )
         if has_sum:
             return res, (outs[2][:batch, :1], outs[3][:batch, :1])
@@ -552,6 +586,7 @@ def make_radix_conv_fn(
     out_perm: Optional[np.ndarray] = None,
     x0_add: bool = False,
     emit_sum: bool = False,
+    full_out: bool = False,
 ) -> Callable:
     """Build fn: Cplx (..., n_in) -> Cplx (..., n_out) computing
 
@@ -573,6 +608,11 @@ def make_radix_conv_fn(
       sums are exact f32 per-signal input sums (shape (..., 1)) computed
       from pass 1's raw block — the Rader DC bin rides the kernel's HBM
       read instead of a separate XLA reduction pass.
+    * full_out (requires x0_add, emit_sum, out_perm): pass 2 emits the
+      COMPLETE (..., m+1) DC-first Rader output — the out_perm table is
+      rolled by one position so the Benes network performs the layout
+      shift for free, and the DC bin (x0 + sum) is stored in-kernel.
+      apply returns the (..., m+1) pair directly (no sums tuple).
     """
     assert np.dtype(dtype) == np.complex64
     rpq = choose_rpq(m)
@@ -584,6 +624,13 @@ def make_radix_conv_fn(
         assert n_in == m and pre is None
     if out_perm is not None:
         assert post is None
+    if full_out:
+        assert x0_add and emit_sum and out_perm is not None and n_out == m
+        n_out = m + 1
+        # fold the DC-first "+1 position shift" into the permutation: the
+        # element destined for flat position m parks at grid slot 0 (the
+        # kernel moves it with one aligned single-lane store)
+        out_perm = np.roll(np.asarray(out_perm), 1)
     precision = resolve_precision(precision, interpret)
 
     # live input row-groups: j < n_in covers b < ceil(n_in / (r*q)),
@@ -606,6 +653,7 @@ def make_radix_conv_fn(
         m, r, p, q, direction, precision, interpret,
         p_in=p, pre=None, h=None, conj_out=conj_out, post=post,
         batch_tile=batch_tile, out_perm=out_perm, add_const=x0_add,
+        full_out=full_out,
     )
 
     def apply(x, const=None):
@@ -627,12 +675,12 @@ def make_radix_conv_fn(
         if x0_add:
             assert const is not None
             x0 = (const[0].reshape(-1, 1), const[1].reshape(-1, 1))
-        out_r, out_i = pass2(zr, zi, x0=x0)
+        out_r, out_i = pass2(zr, zi, x0=x0, sums=sums if full_out else None)
         res = (
             out_r[:, :n_out].reshape(shape[:-1] + (n_out,)),
             out_i[:, :n_out].reshape(shape[:-1] + (n_out,)),
         )
-        if emit_sum:
+        if emit_sum and not full_out:
             return res, (
                 sums[0].reshape(shape[:-1] + (1,)),
                 sums[1].reshape(shape[:-1] + (1,)),

@@ -61,7 +61,9 @@ def main():
         perm_in, inv_gather, b_fft = raders_tables(p, d)
         rows = {}
 
-        # full route
+        # full route (config default: rader_full_out=True fuses the final
+        # DC concat into pass 2); the "concat epi" row is the same plan
+        # with the flag off — the round-4 shipped epilogue
         try:
             plan = FftPlanner().plan_fft_forward(p)
             t = time_fn(plan.raw_fn, re, im)
@@ -69,6 +71,16 @@ def main():
             print(f"  plan           : {ms(t):8.3f} ms  {gf(t):7.1f} GF/s", flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"  plan           : FAILED {str(e)[:300]}", flush=True)
+        try:
+            config.rader_full_out = False
+            plan2 = FftPlanner().plan_fft_forward(p)
+            t = time_fn(plan2.raw_fn, re, im)
+            rows["plan concat"] = t
+            print(f"  plan concat epi: {ms(t):8.3f} ms  {gf(t):7.1f} GF/s", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"  plan concat epi: FAILED {str(e)[:300]}", flush=True)
+        finally:
+            config.rader_full_out = True
 
         cores = [
             ("core noperm   ", dict()),
