@@ -71,6 +71,20 @@ class FftConfig:
     #: same-run adjacent rows).
     lanepack_max_n: int = 4096
 
+    #: Lanepack I/O description: "block" = (g*128, n) batch-tile blocks;
+    #: "flat" = whole (tb, 65536)-class rows packing 65536/n transforms per
+    #: row, unpacked/repacked in VMEM via lane-slice stacks (the round-5
+    #: flat-view DMA rule that took the radix band 1.6-2x — CLAUDE.md).
+    #: "flat" needs n % 128 == 0 and falls back to "block" otherwise.
+    #: MEASURED NEGATIVE on v5e (tools/perf_lpx.py 2026-08-19, same-run):
+    #: flat loses 26-34% at every size even with per-group slot stacks
+    #: replacing the block ref read (512: 382 vs 582; 1024: 408 vs 623;
+    #: 2048: 442 vs 629; 4096: 457/465-aliased vs 623) — the small band is
+    #: op-count-bound and the sw-way unpack/repack slicing costs more VPU
+    #: time than the wide-row DMA saves.  Kept as an opt-in measurement
+    #: variant; "block" stays the default.
+    lanepack_variant: str = "block"
+
     #: Smallest transform routed to the three-stage fused kernel when its
     #: (p, q1, q2) split exists.  Measured on v5e: the kernel is MXU-PASS
     #: bound, not flop bound — the small-factor stages (K = q1 < 128) waste

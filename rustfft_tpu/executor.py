@@ -224,11 +224,14 @@ def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[
         kwargs["variant"] = config.radix_variant
     elif route == "two_stage":
         kwargs["variant"] = config.two_stage_variant
+    elif route == "lanepack":
+        kwargs["variant"] = config.lanepack_variant
     if config.pallas_in_place:
         # in-place is legal where the in/out views share a shape and block
         # index map: dense always, radix always (p == q == 128 by
         # construction), two-stage only for square splits with the
-        # in-kernel transpose (p >= 128)
+        # in-kernel transpose (p >= 128), lanepack only in flat mode
+        # (identical (tb, 65536) views)
         if route == "dense":
             kwargs["in_place"] = True
         elif route == "radix":
@@ -236,6 +239,10 @@ def _maybe_fused(n: int, direction: FftDirection, dtype, mode: str) -> Optional[
         elif route == "two_stage":
             pq = fused._choose_pq(n)
             if pq is not None and pq[0] == pq[1] and pq[0] >= 128:
+                kwargs["in_place"] = True
+        elif route == "lanepack":
+            if (config.lanepack_variant == "flat"
+                    and lanepack.flat_pack(n) is not None):
                 kwargs["in_place"] = True
     return builder(n, direction, dtype, interpret=interpret, **kwargs)
 
@@ -278,7 +285,7 @@ def build(
         config.dense_fallback_max_n, config.use_bconv_fused,
         config.large3f_min_n, config.dense_min_n, config.pallas_in_place,
         config.radix_variant, config.two_stage_variant, config.large_gauss,
-        config.permute_select, config.rader_full_out,
+        config.permute_select, config.rader_full_out, config.lanepack_variant,
     )
     fn = _CACHE.get(key)
     if fn is None:

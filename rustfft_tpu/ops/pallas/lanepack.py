@@ -215,7 +215,39 @@ def _stage_consts(n, radices, direction, precision):
     return consts
 
 
-def _kernel(n, radices, g, precision, stack, xr_ref, xi_ref, *refs):
+def _flat_group_load(x_ref, gi, sw, n):
+    """Load group gi's 128 transforms from a flat (tb, pack*n) ref.
+
+    The round-5 DMA rule (CLAUDE.md): only wide whole-row HBM views copy
+    fast.  A group = all tb block rows x a window of sw = 128/tb slots;
+    slot offsets are lane-aligned (n % 128 == 0), so the sw-way lane-slice
+    stack moves the slot digit to a sublane axis — and, crucially, this
+    stack REPLACES the block-mode ref read feeding the lane<->sublane
+    transpose (a first whole-block unpack pass measured -31% at 1024:
+    604.8 -> 417.7 GF/s, tools/perf_lpx.py 2026-08-19).
+    Returns (tb*sw, n) rows; local row t*sw + u = signal t*pack + gi*sw + u.
+    """
+    base = gi * sw
+    return jnp.stack(
+        [x_ref[:, (base + u) * n : (base + u + 1) * n] for u in range(sw)],
+        axis=1,
+    ).reshape(-1, n)
+
+
+def _flat_group_store(o_ref, v, gi, sw, n):
+    """Store a group's (tb*sw, n) output into the flat (tb, pack*n) ref.
+
+    Per-slot lane-slice STORES: a wide lane concat producing the whole-row
+    value crashes the Mosaic remote compiler (the ctwgx bisect,
+    tools/perf_ctwgx_debug.py); slice-stores compile.
+    """
+    v3 = v.reshape(-1, sw, n)
+    base = gi * sw
+    for u in range(sw):
+        o_ref[:, (base + u) * n : (base + u + 1) * n] = v3[:, u, :]
+
+
+def _kernel(n, radices, g, precision, stack, pack, xr_ref, xi_ref, *refs):
     """One group: (g*LANES, n) natural [b, j] -> same shape, FFT over j.
 
     Stages are concat-free: each contracts the [re | im] halves with the two
@@ -225,8 +257,13 @@ def _kernel(n, radices, g, precision, stack, xr_ref, xi_ref, *refs):
     constraint here.
 
     stack=True processes all g groups as ONE g*LANES-wide lane axis: a single
-    transpose pair per block and one dot per stage with g*128 lanes of N,
+    transpose pair per block and one dot per stack with g*128 lanes of N,
     instead of g separate transpose/dot chains.
+
+    pack>0 = flat I/O mode: the block is (tb, pack*n) whole rows of pack
+    transforms each (the fast DMA class); unpack/repack via lane-slice
+    stacks/stores, then the g = tb*pack/128 groups run exactly as in block
+    mode.
     """
     k = len(radices)
     # per stage: one merged cat table, or wA_hi, wA_lo, wB_hi, wB_lo
@@ -241,11 +278,18 @@ def _kernel(n, radices, g, precision, stack, xr_ref, xi_ref, *refs):
     # path; pad the lane axis to the VREG boundary first, slice sublanes after
     n_pad = -(-n // LANES) * LANES
 
+    # flat mode: a group = all tb block rows x sw slots (128 transforms)
+    sw = LANES // xr_ref.shape[0] if pack else 0
+
     outs_r = []
     outs_i = []
     for gi in range(n_groups):
-        xr = xr_ref[gi * lanes : (gi + 1) * lanes, :]  # (L, n)
-        xi = xi_ref[gi * lanes : (gi + 1) * lanes, :]
+        if pack:
+            xr = _flat_group_load(xr_ref, gi, sw, n)  # (L, n)
+            xi = _flat_group_load(xi_ref, gi, sw, n)
+        else:
+            xr = xr_ref[gi * lanes : (gi + 1) * lanes, :]  # (L, n)
+            xi = xi_ref[gi * lanes : (gi + 1) * lanes, :]
         if n_pad != n:
             pad = jnp.zeros((lanes, n_pad - n), jnp.float32)
             xr = jnp.concatenate([xr, pad], axis=1)
@@ -261,10 +305,35 @@ def _kernel(n, radices, g, precision, stack, xr_ref, xi_ref, *refs):
             vi = jnp.concatenate([vi, pad], axis=0)
         outr = jnp.swapaxes(vr, 0, 1)[:, :n]  # (L, n)
         outi = jnp.swapaxes(vi, 0, 1)[:, :n]
-        outs_r.append(outr)
-        outs_i.append(outi)
+        if pack:
+            # store this group's slots straight into the flat out ref —
+            # no whole-block accumulation/concat pass
+            _flat_group_store(or_ref, outr, gi, sw, n)
+            _flat_group_store(oi_ref, outi, gi, sw, n)
+        else:
+            outs_r.append(outr)
+            outs_i.append(outi)
+    if pack:
+        return
     or_ref[:] = jnp.concatenate(outs_r, axis=0) if n_groups > 1 else outs_r[0]
     oi_ref[:] = jnp.concatenate(outs_i, axis=0) if n_groups > 1 else outs_i[0]
+
+
+#: flat-variant row width: the uniquely-fast whole-row DMA width (round-5
+#: rule, tools/perf_narrow.py: 65536-wide aliased copies run at stream rate;
+#: 131072+ DEGRADE and sub-65536 pure copies stay in the ~218 GB/s class)
+_FLAT_W = 65536
+
+
+def flat_pack(n: int) -> Optional[int]:
+    """Transforms per flat row for the flat lanepack variant, or None.
+
+    Needs contiguous packing of whole signals into a 65536-wide row with
+    every slot offset lane-aligned: n a power-of-two multiple of 128.
+    """
+    if n < LANES or n > _FLAT_W // 2 or _FLAT_W % n or n % LANES:
+        return None
+    return _FLAT_W // n
 
 
 def make_lanepack_fn(
@@ -276,6 +345,8 @@ def make_lanepack_fn(
     precision=None,
     group: Optional[int] = None,
     stack: bool = False,
+    variant: Optional[str] = None,
+    in_place: bool = False,
 ) -> Callable:
     """Return fn: Cplx (..., n) -> Cplx (..., n), batch-in-lanes kernel.
 
@@ -285,8 +356,17 @@ def make_lanepack_fn(
 
     `stack=True` fuses the g groups into one g*128-wide lane axis (one
     transpose pair and one dot per stage for the whole block).
+
+    `variant="flat"` (config.lanepack_variant): describe I/O as whole
+    (tb, 65536) rows packing 65536/n transforms each — the round-5 fast
+    DMA class — with the slot relayout done in VMEM (lane-slice stacks in,
+    per-slot slice stores out).  Falls back to block form when flat_pack(n)
+    is None.  in_place aliases the (always shape-equal) flat views.
     """
     assert np.dtype(dtype) == np.complex64, "lanepack kernel is c64/f32 only"
+    if variant is None:
+        variant = config.lanepack_variant
+    pack = flat_pack(n) if variant == "flat" else None
     if group is None:
         # round-4 ladder (tools/perf_lpgroup.py, differential timer,
         # same-run): taller grid steps amortize the per-step transpose/dot
@@ -307,12 +387,30 @@ def make_lanepack_fn(
 
     consts = _stage_consts(n, radices, direction, precision)
 
+    tb = 0
+    if pack:
+        # flat blocks need tb % 8 == 0 (sublane divisibility) and whole
+        # 128-transform groups per block
+        tb = 8
+        while (tb * pack) % LANES:
+            tb += 8
+
     def call(xr, xi, g):
         batch = xr.shape[0]
         rows = g * LANES
         grid = batch // rows
-        kernel = functools.partial(_kernel, n, radices, g, precision, stack)
-        bspec = pl.BlockSpec((rows, n), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _kernel, n, radices, g, precision, stack, pack or 0
+        )
+        if pack:
+            w = pack * n  # == _FLAT_W
+            bspec = pl.BlockSpec((tb, w), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
+            xr = xr.reshape(batch // pack, w)
+            xi = xi.reshape(batch // pack, w)
+            out_view = (batch // pack, w)
+        else:
+            bspec = pl.BlockSpec((rows, n), i32map(lambda i: (i, 0)), memory_space=pltpu.VMEM)
+            out_view = (batch, n)
 
         def cspec(w):
             return pl.BlockSpec(w.shape, i32map(lambda i: (0, 0)), memory_space=pltpu.VMEM)
@@ -322,7 +420,8 @@ def make_lanepack_fn(
             grid=(grid,),
             in_specs=[bspec, bspec] + [cspec(w) for w in consts],
             out_specs=[bspec, bspec],
-            out_shape=[jax.ShapeDtypeStruct((batch, n), jnp.float32)] * 2,
+            out_shape=[jax.ShapeDtypeStruct(out_view, jnp.float32)] * 2,
+            input_output_aliases={0: 0, 1: 1} if (pack and in_place) else {},
             # Mosaic stack-allocates every block temporary AND double-buffers
             # the IO blocks across grid steps; the transposes make this
             # kernel temp-heavy, so give it headroom beyond the default
@@ -332,7 +431,7 @@ def make_lanepack_fn(
             ),
             interpret=interpret,
         )(xr, xi, *[jnp.asarray(w) for w in consts])
-        return out_r, out_i
+        return out_r.reshape(batch, n), out_i.reshape(batch, n)
 
     def apply(x):
         xr, xi = x
@@ -340,12 +439,14 @@ def make_lanepack_fn(
         flat_r = xr.reshape(-1, n)
         flat_i = xi.reshape(-1, n)
         batch = flat_r.shape[0]
-        rows = group * LANES
+        # flat mode: one grid step spans tb*pack transforms (g groups)
+        rows = tb * pack if pack else group * LANES
         pad = (-batch) % rows
         if pad:
             flat_r = jnp.pad(flat_r, ((0, pad), (0, 0)))
             flat_i = jnp.pad(flat_i, ((0, pad), (0, 0)))
-        out_r, out_i = call(flat_r, flat_i, group)
+        g = (tb * pack) // LANES if pack else group
+        out_r, out_i = call(flat_r, flat_i, g)
         if pad:
             out_r = out_r[:batch]
             out_i = out_i[:batch]

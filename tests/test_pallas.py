@@ -407,6 +407,47 @@ def test_lanepack_supported_rules():
 @pytest.mark.parametrize(
     "direction", [FftDirection.FORWARD, FftDirection.INVERSE]
 )
+@pytest.mark.parametrize("n", [512, 1024, 4096])
+def test_lanepack_flat_matches_oracle(n, direction):
+    """Flat-view lanepack variant: (tb, 65536) whole-row I/O packing
+    65536/n transforms per row, slot relayout in VMEM (round-5 DMA rule)."""
+    from rustfft_tpu.ops.pallas import lanepack
+
+    assert lanepack.flat_pack(n) == 65536 // n
+    fn = lanepack.make_lanepack_fn(
+        n, direction, np.complex64, interpret=True, variant="flat"
+    )
+    # not a multiple of tb*pack: exercises the flat padding path, and >1
+    # grid step at the small sizes
+    batch = (2 * 65536) // n + 3
+    sig = random_signal(batch * n, dtype=np.complex64, seed=5 + n).reshape(batch, n)
+    o_r, o_i = fn((sig.real, sig.imag))
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    err = mean_element_error(out, oracle_dft(sig, direction))
+    assert err < 1e-2, (n, direction, err)
+
+
+def test_lanepack_flat_pack_rules():
+    from rustfft_tpu.ops.pallas import lanepack
+
+    assert lanepack.flat_pack(3888) is None  # 65536 % n != 0
+    assert lanepack.flat_pack(720) is None  # n % 128 != 0
+    assert lanepack.flat_pack(65536) is None  # already a whole row
+    # misaligned/unpackable sizes silently fall back to block form
+    fn = lanepack.make_lanepack_fn(
+        3888, FftDirection.FORWARD, np.complex64, interpret=True,
+        variant="flat",
+    )
+    sig = random_signal(130 * 3888, dtype=np.complex64, seed=7).reshape(130, 3888)
+    o_r, o_i = fn((sig.real, sig.imag))
+    out = np.asarray(o_r) + 1j * np.asarray(o_i)
+    err = mean_element_error(out, oracle_dft(sig, FftDirection.FORWARD))
+    assert err < 1e-2, err
+
+
+@pytest.mark.parametrize(
+    "direction", [FftDirection.FORWARD, FftDirection.INVERSE]
+)
 @pytest.mark.parametrize("n", [32768, 65536])
 def test_fused_radix_matches_oracle(n, direction):
     """Radix-r fused kernel: MXU 128x128 stages + VPU radix chain (fused.py)."""
