@@ -71,6 +71,20 @@ class FftConfig:
     #: same-run adjacent rows).
     lanepack_max_n: int = 4096
 
+    #: Radix conv core (conv_radix.py) stage GEMMs: False = (2p, 2p)
+    #: block-form complex dots; True = Gauss 3-dot form (25% less MXU work
+    #: per stage — the same switch that won +2-17% in the standalone
+    #: two_stage/radix kernels, commit 1543b83).
+    conv_radix_gauss: bool = False
+
+    #: Rader whole-input mode (requires rader_full_out): pass 1 of the
+    #: radix conv core reads the RAW (batch, p) prime-length signal and
+    #: lane-rolls it in-VMEM, replacing the XLA x[1:] slice (~0.8 ms at
+    #: (512, 65537)) and keeping every chain array (batch, p) wide so both
+    #: passes alias their flat views (full_out alone breaks pass-2
+    #: aliasing: m -> m+1).
+    rader_in_shift: bool = False
+
     #: Lanepack I/O description: "block" = (g*128, n) batch-tile blocks;
     #: "flat" = whole (tb, 65536)-class rows packing 65536/n transforms per
     #: row, unpacked/repacked in VMEM via lane-slice stacks (the round-5

@@ -286,6 +286,7 @@ def build(
         config.large3f_min_n, config.dense_min_n, config.pallas_in_place,
         config.radix_variant, config.two_stage_variant, config.large_gauss,
         config.permute_select, config.rader_full_out, config.lanepack_variant,
+        config.conv_radix_gauss, config.rader_in_shift,
     )
     fn = _CACHE.get(key)
     if fn is None:

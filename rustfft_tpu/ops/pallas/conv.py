@@ -290,11 +290,16 @@ def make_raders_fn(
         # pass 2's rolled out-perm (measured ~1.5 ms of XLA concat at
         # (512, 65537)) — with it on, the core IS the whole transform.
         full_out = bool(config.rader_full_out)
+        # in_shift additionally feeds the RAW (batch, p) signal to pass 1
+        # (one in-VMEM lane roll replaces the XLA x[1:] slice traversal)
+        # and keeps every chain array (batch, p) wide so both passes alias
+        in_shift = full_out and bool(config.rader_in_shift)
         core = conv_radix.make_radix_conv_fn(
             m, direction, dtype, h=b_fft, conj_out=True,
             interpret=interpret, batch_tile=batch_tile,
             in_perm=perm_in - 1, out_perm=inv_gather,
             x0_add=True, emit_sum=True, full_out=full_out,
+            in_shift=in_shift,
         )
         fused_perms = True
     else:
@@ -336,6 +341,9 @@ def make_raders_fn(
             x0 = (xr[..., :1], xi[..., :1])
             if full_out:
                 # pass 2 emits the complete DC-first (..., p) output
+                if in_shift:
+                    # pass 1 consumes the raw p-wide signal directly
+                    return core((xr, xi), const=x0)
                 return core((xr[..., 1:], xi[..., 1:]), const=x0)
             rest, sums = core((xr[..., 1:], xi[..., 1:]), const=x0)
             out0 = (x0[0] + sums[0], x0[1] + sums[1])

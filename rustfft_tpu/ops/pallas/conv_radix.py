@@ -45,8 +45,8 @@ from ...config import config
 from ... import twiddles
 from .. import calg
 from . import permute
-from .fused import (_vpu_fft_list, choose_rpq, contract_rhs, resolve_precision,
-                    w_split)
+from .fused import (_vpu_fft_list, choose_rpq, contract_rhs, gauss_contract,
+                    gauss_tables, resolve_precision, w_split)
 
 from .util import i32map
 
@@ -69,14 +69,8 @@ def radix_conv_supported(m: int, dtype) -> bool:
 
 def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
             conj_out, has_post, has_inperm, has_outperm, has_sum, has_addc,
-            flat_in, flat_out, full_out,
-            xr_ref, xi_ref, x0r_ref, x0i_ref, s0r_ref, s0i_ref,
-            wp_hi_ref, wp_lo_ref,
-            wq_hi_ref, wq_lo_ref, t1r_ref, t1i_ref, t2r_ref, t2i_ref,
-            prer_ref, prei_ref, hr_ref, hi_ref, postr_ref, posti_ref,
-            i1_ref, i2_ref, i3_ref, i4_ref, i5_ref,
-            o1_ref, o2_ref, o3_ref, o4_ref, o5_ref,
-            or_ref, oi_ref, *sum_refs):
+            flat_in, flat_out, full_out, gauss_mode, in_shift, dc_from_sum,
+            xr_ref, xi_ref, x0r_ref, x0i_ref, s0r_ref, s0i_ref, *rest):
     """One batch tile: (tb*p_in, r*q) natural -> (tb*q, r*p) natural, with
     optional elementwise prologue (pre) and epilogues (conj(.H) / conj /
     post) around the vpur FFT body (fused._fused_kernel_vpur derivation).
@@ -115,6 +109,18 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
     single-lane stores: slot m gets the parked value, slot 0 gets the DC
     bin x0 + sum(x[1:]) from the s0 input (pass 1's emit_sum output).
     """
+    # ref layout: nw stage-DFT tables (4 block-form / 12 Gauss), then the
+    # fixed 20 twiddle/pre/h/post/perm consts, the 2 out refs, and the
+    # optional 2 sum out refs
+    nw = 12 if gauss_mode else 4
+    w_refs = rest[:nw]
+    (t1r_ref, t1i_ref, t2r_ref, t2i_ref,
+     prer_ref, prei_ref, hr_ref, hi_ref, postr_ref, posti_ref,
+     i1_ref, i2_ref, i3_ref, i4_ref, i5_ref,
+     o1_ref, o2_ref, o3_ref, o4_ref, o5_ref,
+     or_ref, oi_ref) = rest[nw:nw + 22]
+    sum_refs = rest[nw + 22:]
+    gdims = (((1,), (1,)), ((), ()))
     m1 = r * p
     if has_sum:
         osr_ref, osi_ref = sum_refs
@@ -145,13 +151,22 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
         sel = [[sel_a[xd, xs] for xs in range(r)] for xd in range(r)]
         if flat_in:
             # flat (tb, m) block -> per-signal (W, Z) views via a W-way
-            # lane-slice stack (the round-5 fast-DMA relayout)
+            # lane-slice stack (the round-5 fast-DMA relayout).  in_shift:
+            # the block is the RAW (tb, p)-wide Rader input (lane 0 = x0,
+            # signal at lanes [1, m+1)) — one static lane roll aligns it,
+            # replacing the ~0.8 ms XLA x[1:] slice traversal the plan
+            # otherwise pays (and keeping the pass's in/out widths equal
+            # so aliasing stays legal)
+            rowr, rowi = xr_ref[:], xi_ref[:]
+            if in_shift:
+                rowr = jnp.roll(rowr, -1, axis=1)
+                rowi = jnp.roll(rowi, -1, axis=1)
             fr = jnp.stack(
-                [xr_ref[:, w * q : (w + 1) * q] for w in range(w_rows)],
+                [rowr[:, w * q : (w + 1) * q] for w in range(w_rows)],
                 axis=1,
             )  # (tb, W, q)
             fi = jnp.stack(
-                [xi_ref[:, w * q : (w + 1) * q] for w in range(w_rows)],
+                [rowi[:, w * q : (w + 1) * q] for w in range(w_rows)],
                 axis=1,
             )
         sig_r, sig_i = [], []
@@ -165,16 +180,29 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
         # (tb, p, r, q) [j1, a, j2]: row (j1*r + a) of the (W, Z) view
         vr = jnp.stack(sig_r, axis=0).reshape(tb, p, r, q)
         vi = jnp.stack(sig_i, axis=0).reshape(tb, p, r, q)
-        a_l = []
-        for a_i in range(r):
-            xb = jnp.concatenate(
-                [vr[:, :, a_i, :], vi[:, :, a_i, :]], axis=1
-            )  # (tb, 2p, q)
-            a_l.append(contract_rhs(
-                xb, wp_hi_ref[:], wp_lo_ref[:], (((1,), (1,)), ((), ())),
-                precision,
-            ))  # (tb, q, 2p) [j2, d]
-        a = jnp.stack(a_l, axis=1)  # (tb, r, q, 2p)
+        if gauss_mode:
+            ar_l, ai_l = [], []
+            for a_i in range(r):
+                gr, gi = gauss_contract(
+                    vr[:, :, a_i, :], vi[:, :, a_i, :], w_refs[0:6],
+                    gdims, precision,
+                )  # (tb, q, p) [j2, d]
+                ar_l.append(gr)
+                ai_l.append(gi)
+            sr = jnp.stack(ar_l, axis=1)  # (tb, r, q, p)
+            si = jnp.stack(ai_l, axis=1)
+        else:
+            a_l = []
+            for a_i in range(r):
+                xb = jnp.concatenate(
+                    [vr[:, :, a_i, :], vi[:, :, a_i, :]], axis=1
+                )  # (tb, 2p, q)
+                a_l.append(contract_rhs(
+                    xb, w_refs[0][:], w_refs[1][:], gdims,
+                    precision,
+                ))  # (tb, q, 2p) [j2, d]
+            a = jnp.stack(a_l, axis=1)  # (tb, r, q, 2p)
+            sr, si = a[..., :p], a[..., p:]
     else:
         if flat_in:
             rq = r * q
@@ -198,14 +226,22 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
         else:
             vr, vi = xr, xi
 
-        # stage A: DFT_p over the sublane b axis; wpa column-sliced to the
-        # live rows (2p, 2p_in) — K = 2*p_in (conv.py's boundary-stage trim)
-        xb = jnp.concatenate([vr, vi], axis=1)  # (tb, 2p_in, r*q)
-        a = contract_rhs(
-            xb, wp_hi_ref[:], wp_lo_ref[:], (((1,), (1,)), ((), ())), precision
-        )  # (tb, r*q, 2p) [a*q + j2, d]
-        a = a.reshape(tb, r, q, 2 * p)
-    sr, si = a[..., :p], a[..., p:]
+        # stage A: DFT_p over the sublane b axis; tables column-sliced to
+        # the live rows — K = 2*p_in block form / p_in Gauss (conv.py's
+        # boundary-stage trim)
+        if gauss_mode:
+            gr, gi = gauss_contract(
+                vr, vi, w_refs[0:6], gdims, precision
+            )  # (tb, r*q, p) [a*q + j2, d]
+            sr = gr.reshape(tb, r, q, p)
+            si = gi.reshape(tb, r, q, p)
+        else:
+            xb = jnp.concatenate([vr, vi], axis=1)  # (tb, 2p_in, r*q)
+            a = contract_rhs(
+                xb, w_refs[0][:], w_refs[1][:], gdims, precision
+            )  # (tb, r*q, 2p) [a*q + j2, d]
+            a = a.reshape(tb, r, q, 2 * p)
+            sr, si = a[..., :p], a[..., p:]
 
     # twiddle w_{rp}^{a*d}, table (r, p)
     t1r = t1r_ref[:].reshape(1, r, 1, p)
@@ -227,11 +263,16 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
     di = cr * t2i + ci * t2r
 
     # stage B: DFT_q over j2
-    db = jnp.concatenate([dr, di], axis=2)  # (tb, r, 2q, p)
-    e = contract_rhs(
-        db, wq_hi_ref[:], wq_lo_ref[:], (((2,), (1,)), ((), ())), precision
-    )  # (tb, r, p, 2q) [c, d, k2]
-    er, ei = e[..., :q], e[..., q:]
+    if gauss_mode:
+        er, ei = gauss_contract(
+            dr, di, w_refs[6:12], (((2,), (1,)), ((), ())), precision
+        )  # (tb, r, p, q) [c, d, k2]
+    else:
+        db = jnp.concatenate([dr, di], axis=2)  # (tb, r, 2q, p)
+        e = contract_rhs(
+            db, w_refs[2][:], w_refs[3][:], (((2,), (1,)), ((), ())), precision
+        )  # (tb, r, p, 2q) [c, d, k2]
+        er, ei = e[..., :q], e[..., q:]
 
     # natural order k = k2*m1 + c*p + d: per-c lane transposes, lane concat
     outs_r = [jnp.swapaxes(er[:, c], -1, -2) for c in range(r)]  # (tb, q, p)
@@ -282,8 +323,14 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
                 # single-lane 128-aligned stores (m % 128 == 0)
                 or_ref[:, w_rows * p : w_rows * p + 1] = st_r[:, 0, :1]
                 oi_ref[:, w_rows * p : w_rows * p + 1] = st_i[:, 0, :1]
-                or_ref[:, :1] = x0r_ref[:, :1] + s0r_ref[:, :1]
-                oi_ref[:, :1] = x0i_ref[:, :1] + s0i_ref[:, :1]
+                if dc_from_sum:
+                    # in_shift sums span the WHOLE raw row = x0 + sum(x[1:])
+                    # — the DC bin directly (raders_algorithm.rs:202)
+                    or_ref[:, :1] = s0r_ref[:, :1]
+                    oi_ref[:, :1] = s0i_ref[:, :1]
+                else:
+                    or_ref[:, :1] = x0r_ref[:, :1] + s0r_ref[:, :1]
+                    oi_ref[:, :1] = x0i_ref[:, :1] + s0i_ref[:, :1]
         else:
             for s in range(tb):
                 or_ref[s * w_rows:(s + 1) * w_rows, :] = perm_r[s]
@@ -327,7 +374,8 @@ def _kernel(r, p, q, tb, p_in, precision, direction, has_pre, has_h,
 def _make_pass(
     m, r, p, q, direction, precision, interpret, p_in, pre, h, conj_out, post,
     batch_tile=None, in_perm=None, out_perm=None, emit_sum=False,
-    add_const=False, full_out=False,
+    add_const=False, full_out=False, gauss_mode=False,
+    in_extra=0, out_extra=0, in_shift=False, dc_from_sum=False,
 ):
     """Build one vpur conv pass: fn(xr, xi) on (batch, p_in*r*q) 2D input,
     returning (batch, m) natural-order arrays.
@@ -358,9 +406,18 @@ def _make_pass(
     # out; grouped <=2048-lane concat stores for the Benes out-perm).
     flat_in = q == 128
     flat_out = q == 128
-    # aliasing is shape-legal when in and out are both the flat (batch, m)
-    # view (no input trim); full_out's (batch, m+1) output breaks it
-    in_place = (flat_in and flat_out and p_in == p and not full_out
+    if in_shift:
+        assert flat_in and in_perm is not None and p_in == p
+        in_extra = 1
+    # aliasing is shape-legal when in and out are flat views of EQUAL
+    # width (no input trim).  Plain passes: m == m.  The in_shift Rader
+    # chain keeps every width at m+1 (raw p-wide input, wide pass-1
+    # output, full_out pass-2 output) precisely so both passes stay
+    # aliasable — full_out alone (m -> m+1) is not.
+    in_w_total = m + in_extra
+    out_w_total = m + (1 if full_out else 0) + out_extra
+    in_place = (flat_in and flat_out and p_in == p
+                and in_w_total == out_w_total
                 and config.pallas_in_place)
     idt = np.int32
     dummy_i = np.zeros((1, 1), idt)
@@ -376,12 +433,25 @@ def _make_pass(
             np.asarray(out_perm, dtype=np.int64), r
         )
 
-    wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)
-    live = list(range(p_in)) + list(range(p, p + p_in))
-    wpa = np.ascontiguousarray(wp[:, live])  # (2p, 2p_in)
-    wq = calg.block_mid(twiddles.dft_matrix(q, direction), rdt)
-    wp_hi, wp_lo = w_split(wpa, precision)
-    wq_hi, wq_lo = w_split(wq, precision)
+    if gauss_mode:
+        # Gauss 3-dot stage tables (fused.gauss_contract): 25% less MXU
+        # work per stage than the (2p, 2p) block form — measured +2-17% in
+        # the standalone two_stage/radix kernels (commit 1543b83); the
+        # stage-A tables column-sliced to the p_in live input digits
+        wdp = np.ascontiguousarray(
+            twiddles.dft_matrix(p, direction)[:, :p_in]
+        )
+        stage_tabs = gauss_tables(wdp, precision, rdt) + gauss_tables(
+            twiddles.dft_matrix(q, direction), precision, rdt
+        )
+    else:
+        wp = calg.block_mid(twiddles.dft_matrix(p, direction), rdt)
+        live = list(range(p_in)) + list(range(p, p + p_in))
+        wpa = np.ascontiguousarray(wp[:, live])  # (2p, 2p_in)
+        wq = calg.block_mid(twiddles.dft_matrix(q, direction), rdt)
+        wp_hi, wp_lo = w_split(wpa, precision)
+        wq_hi, wq_lo = w_split(wq, precision)
+        stage_tabs = [wp_hi, wp_lo, wq_hi, wq_lo]
     t1 = twiddles.twiddle_table(r, p, direction)  # (r, p)
     t2 = twiddles.twiddle_table(m1, q, direction)  # (m1, q)
     t2 = np.swapaxes(t2.reshape(r, p, q), 1, 2).reshape(r * q, p)
@@ -406,7 +476,7 @@ def _make_pass(
     post_t = tab(post, q, m1) if has_post else dummy
 
     consts = [
-        wp_hi, wp_lo, wq_hi, wq_lo,
+        *stage_tabs,
         np.ascontiguousarray(t1.real).astype(rdt),
         np.ascontiguousarray(t1.imag).astype(rdt),
         np.ascontiguousarray(t2.real).astype(rdt),
@@ -423,7 +493,7 @@ def _make_pass(
         # Benes phases hold ~6 extra (W, Z) copies per component per signal
         copies += 12 * (has_inperm + has_outperm)
         budget = max(config.pallas_vmem_limit, 112 * 2**20) - 12 * m
-        budget -= sum(4 * c.size for c in consts[8:])
+        budget -= sum(4 * c.size for c in consts[len(stage_tabs) + 4:])
         tb = max(1, budget // (copies * 4 * m))
         tb = 1 << (tb.bit_length() - 1)
         # measured at m=65536 (same run): tb=16 (3.94ms) > 8 (4.05) > 4 > 2
@@ -446,7 +516,8 @@ def _make_pass(
         k = functools.partial(
             _kernel, r, p, q, tb, p_in, precision, direction, has_pre,
             has_h, conj_out, has_post, has_inperm, has_outperm, has_sum,
-            has_addc, flat_in, flat_out, full_out,
+            has_addc, flat_in, flat_out, full_out, gauss_mode, in_shift,
+            dc_from_sum,
         )
 
         def bcast128(v):
@@ -475,7 +546,7 @@ def _make_pass(
             s0_arrs = [jnp.zeros((1, 1), jnp.float32)] * 2
             s0_specs = None
         if flat_in:
-            in_w = w_rows * q if has_inperm else p_in * r * q
+            in_w = (w_rows * q if has_inperm else p_in * r * q) + in_extra
             in_bspec = pl.BlockSpec(
                 (tb, in_w), i32map(lambda i: (i, 0)),
                 memory_space=pltpu.VMEM,
@@ -497,7 +568,7 @@ def _make_pass(
             xr2 = xr.reshape(bpad * p_in, r * q)
             xi2 = xi.reshape(bpad * p_in, r * q)
         if flat_out:
-            out_w = m + 1 if full_out else m
+            out_w = out_w_total
             out_bspec = pl.BlockSpec(
                 (tb, out_w), i32map(lambda i: (i, 0)),
                 memory_space=pltpu.VMEM,
@@ -557,7 +628,7 @@ def _make_pass(
             interpret=interpret,
         )(xr2, xi2, *x0_arrs, *s0_arrs, *[jnp.asarray(w) for w in consts])
         out_r, out_i = outs[0], outs[1]
-        res_w = m + 1 if full_out else m
+        res_w = out_w_total
         res = (
             out_r.reshape(bpad, res_w)[:batch],
             out_i.reshape(bpad, res_w)[:batch],
@@ -587,6 +658,8 @@ def make_radix_conv_fn(
     x0_add: bool = False,
     emit_sum: bool = False,
     full_out: bool = False,
+    gauss: Optional[bool] = None,
+    in_shift: bool = False,
 ) -> Callable:
     """Build fn: Cplx (..., n_in) -> Cplx (..., n_out) computing
 
@@ -644,16 +717,26 @@ def make_radix_conv_fn(
     if eff_pre is None and n_in < p_in * (r * q):
         eff_pre = np.ones(n_in, np.complex128)
 
+    gauss_mode = config.conv_radix_gauss if gauss is None else gauss
+    if in_shift:
+        # Rader whole-input mode: the caller hands the RAW (batch, m+1)
+        # prime-length signal; pass 1 lane-rolls it in-VMEM (killing the
+        # XLA x[1:] slice traversal) and every array in the chain stays
+        # (batch, m+1) wide so BOTH passes alias their flat views.
+        assert full_out and in_perm is not None and emit_sum and x0_add
     pass1 = _make_pass(
         m, r, p, q, direction, precision, interpret,
         p_in=p_in, pre=eff_pre, h=h, conj_out=False, post=None,
         batch_tile=batch_tile, in_perm=in_perm, emit_sum=emit_sum,
+        gauss_mode=gauss_mode, in_shift=in_shift,
+        out_extra=1 if in_shift else 0,
     )
     pass2 = _make_pass(
         m, r, p, q, direction, precision, interpret,
         p_in=p, pre=None, h=None, conj_out=conj_out, post=post,
         batch_tile=batch_tile, out_perm=out_perm, add_const=x0_add,
-        full_out=full_out,
+        full_out=full_out, gauss_mode=gauss_mode,
+        in_extra=1 if in_shift else 0, dc_from_sum=in_shift,
     )
 
     def apply(x, const=None):
